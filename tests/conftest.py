@@ -1,0 +1,17 @@
+"""Test configuration: force CPU backend with 8 virtual devices so multi-chip
+sharding tests run without TPU hardware (SURVEY.md §4 "multi-chip tests
+without hardware")."""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"  # the session may preset axon/tpu
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+# The environment pins JAX_PLATFORMS=axon (TPU) via a site customization;
+# explicit config update is the only reliable way to force CPU for tests.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", False)

@@ -1,0 +1,136 @@
+"""Training-path tests for the Style-SeqCVAE captioner: loss/KL math vs
+manual computation, mask invariance, gradient flow (BASELINE.json config 2
+shape: bs=32 Senticap-like synthetic batch)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from style_seqcvae_tpu.models.captioner import (
+    CaptionerConfig,
+    add_boundary_tokens,
+    init_captioner,
+    train_forward,
+)
+
+V, B, N, T = 50, 4, 6, 5
+CFG = CaptionerConfig(
+    vocab_size=V, image_feature_size=10, embedding_size=8, hidden_size=7,
+    attention_projection_size=5, z_space=4, sentiment_vae=1, simple_vae=False,
+    max_caption_length=T)
+
+
+def make_batch(rng, cfg=CFG, b=B):
+    feats = rng.randn(b, N, cfg.image_feature_size).astype(np.float32)
+    feats[:, -1] = 0.0
+    tokens = rng.randint(2, V, (b, T)).astype(np.int32)
+    tokens[:, -2:] = 0  # pad tail
+    sentiment = rng.choice([-1.0, 1.0], (b, 1)).astype(np.float32)
+    return {"image_features": jnp.asarray(feats),
+            "caption_tokens": jnp.asarray(tokens),
+            "sentiment": jnp.asarray(sentiment)}
+
+
+def test_add_boundary_tokens():
+    toks = jnp.asarray([[5, 6, 0, 0], [7, 8, 9, 10]])
+    out = add_boundary_tokens(toks, pad_index=0, boundary_index=1)
+    np.testing.assert_array_equal(np.asarray(out[0]), [1, 5, 6, 1, 0, 0])
+    np.testing.assert_array_equal(np.asarray(out[1]), [1, 7, 8, 9, 10, 1])
+
+
+@pytest.mark.parametrize("mode,simple", [(0, True), (0, False), (1, False), (2, False)])
+def test_train_forward_finite_and_shapes(mode, simple):
+    cfg = CFG._replace(sentiment_vae=mode, simple_vae=simple)
+    rng = np.random.RandomState(0)
+    batch = make_batch(rng, cfg)
+    if mode == 2:
+        batch["obj_att_embeds"] = jnp.asarray(
+            rng.randn(B, N, cfg.z_space).astype(np.float32))
+    params = init_captioner(jax.random.PRNGKey(0), cfg)
+    out = train_forward(params, cfg, batch, jax.random.PRNGKey(1))
+    assert out["loss"].shape == (B,)
+    assert out["kld"].shape == (B,)
+    assert np.all(np.isfinite(np.asarray(out["loss"])))
+    assert np.all(np.isfinite(np.asarray(out["kld"])))
+    assert np.all(np.asarray(out["loss"]) > 0)
+
+
+def test_loss_invariant_to_padding_tokens():
+    """Changing features of tokens beyond the sequence end must not change
+    the loss — validates masking parity with the reference's tokens_mask."""
+    cfg = CFG._replace(sentiment_vae=0, simple_vae=True)
+    rng = np.random.RandomState(1)
+    batch = make_batch(rng, cfg)
+    params = init_captioner(jax.random.PRNGKey(0), cfg)
+    out1 = train_forward(params, cfg, batch, jax.random.PRNGKey(7))
+    # pad positions already 0 (=pad); loss must ignore what the model predicts
+    # there. Compare against a batch with an extra pad column appended.
+    batch2 = dict(batch)
+    batch2["caption_tokens"] = jnp.concatenate(
+        [batch["caption_tokens"], jnp.zeros((B, 2), jnp.int32)], axis=1)
+    out2 = train_forward(params, cfg, batch2, jax.random.PRNGKey(7))
+    # KLD is per-step-masked so identical; CE identical because targets at the
+    # extra steps are masked.  (Same rng key but different number of steps →
+    # per-step eps differs; eps only affects steps via the decoder → masked.)
+    np.testing.assert_allclose(np.asarray(out1["loss"]), np.asarray(out2["loss"]),
+                               rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(out1["kld"]), np.asarray(out2["kld"]),
+                               rtol=2e-4)
+
+
+def test_kld_standard_normal_form():
+    """Mode 0 KL must equal the closed form -0.5 Σ(1+logσ²−μ²−σ²) — reference
+    updown_captioner.py:299."""
+    from style_seqcvae_tpu.models.captioner import _per_step_kld
+    cfg = CFG._replace(sentiment_vae=0)
+    rng = np.random.RandomState(2)
+    qm = rng.randn(B, cfg.z_space).astype(np.float32)
+    qlv = rng.randn(B, cfg.z_space).astype(np.float32)
+    kld = _per_step_kld(cfg, jnp.asarray(qm), jnp.asarray(qlv), None, None)
+    expected = -0.5 * np.sum(1 + qlv - qm ** 2 - np.exp(qlv), axis=1)
+    np.testing.assert_allclose(np.asarray(kld), expected, rtol=1e-5)
+
+
+def test_kld_general_two_gaussian_form():
+    """Mode ≥1 KL must equal the general form with the reference's 1e-5
+    denominator epsilon (updown_captioner.py:301-303)."""
+    from style_seqcvae_tpu.models.captioner import _per_step_kld
+    cfg = CFG._replace(sentiment_vae=1)
+    rng = np.random.RandomState(3)
+    qm = rng.randn(B, cfg.z_space).astype(np.float32)
+    qlv = rng.randn(B, cfg.z_space).astype(np.float32)
+    pm = rng.randn(B, cfg.z_space).astype(np.float32)
+    plv = np.log(np.full((B, cfg.z_space), 2.25, np.float32))
+    kld = _per_step_kld(cfg, jnp.asarray(qm), jnp.asarray(qlv),
+                        jnp.asarray(pm), jnp.asarray(plv))
+    pv, qv = np.exp(plv), np.exp(qlv)
+    inner = 1 + qlv - plv - ((qm - pm) ** 2 + qv) / (pv + 1e-5)
+    np.testing.assert_allclose(np.asarray(kld), -0.5 * inner.sum(1), rtol=1e-5)
+
+
+def test_gradients_flow_everywhere():
+    cfg = CFG._replace(sentiment_vae=1, simple_vae=False)
+    rng = np.random.RandomState(4)
+    batch = make_batch(rng, cfg)
+    params = init_captioner(jax.random.PRNGKey(0), cfg)
+
+    def loss_fn(p):
+        out = train_forward(p, cfg, batch, jax.random.PRNGKey(5))
+        return jnp.mean(out["loss"]) + jnp.mean(out["kld"]) / 750.0
+
+    grads = jax.grad(loss_fn)(params)
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(np.all(np.isfinite(np.asarray(g))) for g in leaves)
+    nonzero = [float(jnp.max(jnp.abs(g))) > 0 for g in leaves]
+    assert all(nonzero), "some parameter receives no gradient"
+
+
+def test_determinism_fixed_key():
+    cfg = CFG
+    rng = np.random.RandomState(5)
+    batch = make_batch(rng, cfg)
+    params = init_captioner(jax.random.PRNGKey(0), cfg)
+    o1 = train_forward(params, cfg, batch, jax.random.PRNGKey(9))
+    o2 = train_forward(params, cfg, batch, jax.random.PRNGKey(9))
+    np.testing.assert_array_equal(np.asarray(o1["loss"]), np.asarray(o2["loss"]))
