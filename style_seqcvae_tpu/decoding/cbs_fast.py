@@ -1,0 +1,214 @@
+"""Speed-of-light Constrained Beam Search via FSM default/exception
+decomposition.
+
+Every state of the reference FSM (updown-baseline/updown/utils/
+constraints.py:329-478) has a **default destination** for almost the whole
+vocabulary — itself for main states (self-loop), the reset state for
+sub-states — plus a handful of **exception tokens** (constraint wordforms)
+with explicit destinations. The dense CBS (cbs.py here, reference
+cbs.py:200-226) rescans the full ``(B, S, K, V)`` log-prob tensor once per
+target state; this module exploits the decomposition to do ONE full-vocab
+top-k per step (over default tokens) plus O(E)-sized gathers, cutting HBM
+traffic by ~S× while producing byte-identical beams for reachable states.
+
+Candidate-set equivalence: for target state ``i``, tokens from source ``s``
+are (a) all non-exception tokens iff ``default_dest[s] == i`` — their top
+``per_node_beam_size`` is the top of the default top-k — plus (b) exception
+entries with ``dest == i``. Nondeterministic tokens (shared wordforms)
+appear as multiple exception entries, exactly reproducing the dense
+adjacency semantics.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from style_seqcvae_tpu.decoding.beam_search import (
+    _cleaned_log_probs,
+    reconstruct_sequences,
+)
+from style_seqcvae_tpu.ops.topk import small_top_k
+
+MASK_VAL = -1e20
+
+
+class FSMTables(NamedTuple):
+    """Exception-form FSM. Batch-leading shapes:
+    default_dest (B, S) int32; exc_token/exc_dest (B, S, E) int32;
+    exc_valid (B, S, E) bool."""
+    default_dest: jnp.ndarray
+    exc_token: jnp.ndarray
+    exc_dest: jnp.ndarray
+    exc_valid: jnp.ndarray
+
+    @property
+    def num_states(self) -> int:
+        return self.default_dest.shape[-1]
+
+
+def fsm_to_tables(fsm_dense: np.ndarray, max_exceptions: int = 0) -> FSMTables:
+    """Convert a dense (S, S, V) adjacency into exception form (host-side,
+    per image/z-sample at FSM build time)."""
+    S, _, V = fsm_dense.shape
+    default_dest = np.zeros((S,), np.int32)
+    entries = []
+    for s in range(S):
+        counts = fsm_dense[s].sum(axis=1)       # transitions per destination
+        d = int(np.argmax(counts)) if counts.sum() > 0 else s
+        default_dest[s] = d
+        # tokens that do not follow the plain default transition
+        other = (fsm_dense[s].sum(axis=0) - fsm_dense[s, d]) > 0
+        no_default = fsm_dense[s, d] == 0
+        exc_tok = np.where(other | no_default)[0]
+        row = []
+        for v in exc_tok:
+            for dest in np.where(fsm_dense[s, :, v])[0]:
+                row.append((int(v), int(dest)))
+        entries.append(row)
+
+    E = max_exceptions or max((len(r) for r in entries), default=1) or 1
+    exc_token = np.zeros((S, E), np.int32)
+    exc_dest = np.zeros((S, E), np.int32)
+    exc_valid = np.zeros((S, E), bool)
+    for s, row in enumerate(entries):
+        assert len(row) <= E, f"state {s} has {len(row)} exceptions > E={E}"
+        for j, (v, d) in enumerate(row):
+            exc_token[s, j], exc_dest[s, j], exc_valid[s, j] = v, d, True
+    return FSMTables(default_dest, exc_token, exc_dest, exc_valid)
+
+
+def stack_fsm_tables(tables, pad_exceptions: int = 0) -> FSMTables:
+    """Stack per-image FSMTables (padding E) into batch-leading arrays."""
+    E = max(pad_exceptions, max(t.exc_token.shape[-1] for t in tables))
+
+    def pad(t: FSMTables) -> FSMTables:
+        e = t.exc_token.shape[-1]
+        if e == E:
+            return t
+        pw = [(0, 0), (0, E - e)]
+        return FSMTables(
+            t.default_dest,
+            np.pad(t.exc_token, pw), np.pad(t.exc_dest, pw),
+            np.pad(t.exc_valid, pw))
+
+    ts = [pad(t) for t in tables]
+    return FSMTables(*[jnp.asarray(np.stack([getattr(t, f) for t in ts]))
+                       for f in FSMTables._fields])
+
+
+def constrained_beam_search_fast(
+    step_fn: Callable,
+    start_tokens: jnp.ndarray,   # (B,)
+    init_state,
+    fsm: FSMTables,              # batch-leading (B, S[, E])
+    rng: jax.Array,
+    *,
+    max_steps: int,
+    beam_size: int,
+    per_node_beam_size: int = 0,
+    end_index: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Same contract as :func:`style_seqcvae_tpu.decoding.cbs.
+    constrained_beam_search`: returns ((B, S, K, T), (B, S, K))."""
+    B, S = fsm.default_dest.shape
+    E = fsm.exc_token.shape[-1]
+    K = beam_size
+    pnbs = per_node_beam_size or beam_size
+
+    states_iota = jnp.arange(S, dtype=jnp.int32)
+
+    # ---- first step: transitions from state 0 ----------------------------
+    rng, k0 = jax.random.split(rng)
+    lp0, state = step_fn(
+        start_tokens[:, None, None],
+        jax.tree_util.tree_map(lambda t: t[:, None, None], init_state), k0)
+    lp0 = lp0[:, 0, 0, :]                                     # (B, V)
+    V = lp0.shape[-1]
+
+    exc_mask0 = jnp.zeros((B, V), bool).at[
+        jnp.arange(B)[:, None], fsm.exc_token[:, 0, :]].set(fsm.exc_valid[:, 0, :])
+    def0_lp, def0_cls = small_top_k(jnp.where(exc_mask0, -jnp.inf, lp0), K)  # (B, K)
+    exc0_lp = jnp.where(fsm.exc_valid[:, 0, :],
+                        jnp.take_along_axis(lp0, fsm.exc_token[:, 0, :], axis=-1),
+                        -jnp.inf)                             # (B, E)
+
+    d0 = fsm.default_dest[:, 0]                               # (B,)
+    # per target state i: merge default beam (if d0==i) + exceptions→i
+    def_part = jnp.where((d0[:, None] == states_iota[None, :])[:, :, None],
+                         def0_lp[:, None, :], -jnp.inf)       # (B, S, K)
+    exc_part = jnp.where(fsm.exc_dest[:, 0, None, :] == states_iota[None, :, None],
+                         exc0_lp[:, None, :], -jnp.inf)       # (B, S, E)
+    cand0 = jnp.concatenate([def_part, exc_part], axis=-1)    # (B, S, K+E)
+    cand0_cls = jnp.concatenate([
+        jnp.broadcast_to(def0_cls[:, None, :], (B, S, K)),
+        jnp.broadcast_to(fsm.exc_token[:, 0, None, :], (B, S, E))], axis=-1)
+    last_lp, idx0 = small_top_k(cand0, K)                     # (B, S, K)
+    last_preds = jnp.take_along_axis(cand0_cls, idx0, axis=-1)
+    start_preds_flat = last_preds.reshape(B, S * K)
+
+    state = jax.tree_util.tree_map(
+        lambda t: jnp.broadcast_to(t, (B, S, K) + t.shape[3:]), state)
+
+    # Static per-state exception mask over the vocab (used every step).
+    exc_vocab_mask = jnp.zeros((B, S, V), bool).at[
+        jnp.arange(B)[:, None, None],
+        jnp.broadcast_to(states_iota[None, :, None], (B, S, E)),
+        fsm.exc_token].set(fsm.exc_valid)
+
+    step_keys = jax.random.split(rng, max_steps - 1)
+
+    def scan_step(carry, key):
+        state, last_preds, last_lp = carry
+        log_probs, new_state = step_fn(last_preds, state, key)   # (B, S, K, V)
+        cleaned = _cleaned_log_probs(log_probs, last_preds, end_index)
+
+        # ONE full-vocab top-k (default/non-exception tokens)…
+        def_lp, def_cls = small_top_k(
+            jnp.where(exc_vocab_mask[:, :, None, :], MASK_VAL, cleaned), pnbs)
+        # …plus an O(E) gather of exception-token log-probs.
+        exc_lp = jnp.take_along_axis(
+            cleaned, jnp.broadcast_to(fsm.exc_token[:, :, None, :], (B, S, K, E)),
+            axis=-1)
+        exc_lp = jnp.where(fsm.exc_valid[:, :, None, :], exc_lp, MASK_VAL)
+
+        def target_state(_, i):
+            dmask = (fsm.default_dest == i)[:, :, None, None]        # (B,S,1,1)
+            def_c = jnp.where(dmask, def_lp, MASK_VAL)               # (B,S,K,pnbs)
+            emask = (fsm.exc_dest == i)[:, :, None, :]               # (B,S,1,E)
+            exc_c = jnp.where(emask, exc_lp, MASK_VAL)               # (B,S,K,E)
+            cand = jnp.concatenate([def_c, exc_c], axis=-1)          # (B,S,K,pnbs+E)
+            top_lp, top_idx = small_top_k(cand, pnbs)                # (B,S,K,pnbs)
+            cand_cls = jnp.concatenate([
+                def_cls, jnp.broadcast_to(fsm.exc_token[:, :, None, :], (B, S, K, E))],
+                axis=-1)
+            top_cls = jnp.take_along_axis(cand_cls, top_idx, axis=-1)
+            summed = top_lp + last_lp[..., None]
+            flat_lp = summed.reshape(B, S * K * pnbs)
+            flat_cls = top_cls.reshape(B, S * K * pnbs)
+            new_lp, idx = jax.lax.top_k(flat_lp, K)
+            new_cls = jnp.take_along_axis(flat_cls, idx, axis=1)
+            return None, (new_lp, new_cls, idx // pnbs)
+
+        _, (lp_i, cls_i, bp_i) = jax.lax.scan(target_state, None, states_iota)
+        new_lp = jnp.transpose(lp_i, (1, 0, 2))
+        new_preds = jnp.transpose(cls_i, (1, 0, 2))
+        backptr = jnp.transpose(bp_i, (1, 0, 2)).reshape(B, S * K)
+
+        new_state = jax.tree_util.tree_map(
+            lambda t: jnp.take_along_axis(
+                t.reshape((B, S * K) + t.shape[3:]),
+                backptr.reshape((B, S * K) + (1,) * (t.ndim - 3)), axis=1
+            ).reshape((B, S, K) + t.shape[3:]),
+            new_state)
+        return (new_state, new_preds, new_lp), (new_preds.reshape(B, S * K), backptr)
+
+    (_, _, final_lp), (preds_t, bp_t) = jax.lax.scan(
+        scan_step, (state, last_preds, last_lp), step_keys)
+
+    all_preds = jnp.concatenate([start_preds_flat[None], preds_t], axis=0)
+    sequences = reconstruct_sequences(all_preds, bp_t)
+    return sequences.reshape(B, S, K, max_steps), final_lp

@@ -1,0 +1,31 @@
+"""Small-k top-k via iterative argmax.
+
+``lax.top_k`` lowers to a full sort on TPU — wasteful for the tiny k used in
+beam search (per_node_beam_size = beam//2, typically 2). For static small k,
+k passes of (max, argmax, mask) are k·O(V) VPU ops with no sort.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def small_top_k(x: jnp.ndarray, k: int, iterative_threshold: int = 8
+                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Top-k along the last axis. Uses iterative argmax for k <=
+    ``iterative_threshold``, otherwise falls back to ``lax.top_k``."""
+    if k > iterative_threshold:
+        return jax.lax.top_k(x, k)
+    vals, idxs = [], []
+    cur = x
+    for _ in range(k):
+        idx = jnp.argmax(cur, axis=-1)
+        val = jnp.take_along_axis(cur, idx[..., None], axis=-1)[..., 0]
+        vals.append(val)
+        idxs.append(idx)
+        cur = jnp.where(
+            jax.nn.one_hot(idx, x.shape[-1], dtype=bool), -jnp.inf, cur)
+    return jnp.stack(vals, axis=-1), jnp.stack(idxs, axis=-1)

@@ -1,0 +1,91 @@
+"""Device mesh + sharding rules — the framework's distribution layer.
+
+The reference's only parallelism is single-process ``torch.nn.DataParallel``
+(var_updown/scripts/train.py:123-124, frcnn/trainval_net.py:308-309). The
+TPU-native replacement (SURVEY.md §2.6/§5.8):
+
+* a 2-D ``jax.sharding.Mesh`` with axes ``(data, model)``;
+* **DP**: batch dimension of every input sharded over ``data``; XLA inserts
+  the gradient ``psum`` over ICI automatically under ``jit``;
+* **TP (model axis)**: the large vocabulary-facing matrices (embedding
+  table, tied output projection) and the fused LSTM gate matrices are
+  sharded over ``model``; XLA inserts the activation collectives;
+* **FSDP-style param sharding** (optional): large parameter leaves sharded
+  over ``data`` and all-gathered on use.
+
+Multi-host would use ``jax.distributed.initialize`` + the same code — no
+hand-written collectives anywhere.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(num_data: int = -1, num_model: int = 1,
+              devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if num_data == -1:
+        num_data = n // num_model
+    assert num_data * num_model == n, (
+        f"mesh {num_data}x{num_model} does not cover {n} devices")
+    dev_array = np.asarray(devices).reshape(num_data, num_model)
+    return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Inputs: shard the leading (batch) dimension over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Device-put every array in a batch pytree with batch-dim sharding."""
+    sh = batch_sharding(mesh)
+
+    def put(x):
+        if x is None:
+            return None
+        x = jnp.asarray(x)
+        spec = P(DATA_AXIS) if x.ndim >= 1 else P()
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map(put, batch)
+
+
+def param_sharding(mesh: Mesh, params, shard_params_over_data: bool = False):
+    """Sharding pytree for the captioner parameters.
+
+    Model-axis TP: embedding (V, E) → rows over model; fused LSTM gate
+    matrices (in, 4H) → gate dim over model; output projection (H, E) → E
+    over model. Everything else replicated (or sharded over data when
+    ``shard_params_over_data`` for FSDP-style memory scaling)."""
+
+    def spec_of(path, leaf):
+        keys = [getattr(p, "key", getattr(p, "name", str(p))) for p in path]
+        if leaf.ndim == 2:
+            if "embedding" in keys and "output_projection" not in keys:
+                return P(MODEL_AXIS, None)      # shard vocab rows
+            if "w" in keys and any("lstm" in str(k) for k in keys):
+                return P(None, MODEL_AXIS)      # shard fused gate columns
+            if "output_projection" in keys:
+                return P(None, MODEL_AXIS)
+            if shard_params_over_data:
+                return P(DATA_AXIS, None)
+        return P()
+
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: NamedSharding(mesh, spec_of(path, leaf)), params)
+
+
+def shard_params(mesh: Mesh, params, shard_params_over_data: bool = False):
+    shardings = param_sharding(mesh, params, shard_params_over_data)
+    return jax.tree_util.tree_map(jax.device_put, params, shardings)

@@ -1,0 +1,55 @@
+"""Captioner training step and loop.
+
+Mirrors the reference loop (var_updown/scripts/train.py:154-188): loss =
+mean(reconstruction) + mean(kld)/KLD_WEIGHT, SGD step with clip + schedules,
+per-step scalars. The step is one jitted function; under a mesh the batch is
+data-sharded and XLA all-reduces gradients over ICI.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from style_seqcvae_tpu.models.captioner import CaptionerConfig, train_forward
+from style_seqcvae_tpu.training.optimizer import make_captioner_optimizer
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    rng: jax.Array
+
+    @property
+    def step(self) -> jnp.ndarray:
+        return self.opt_state.step
+
+
+def create_train_state(params, config, model_cfg: CaptionerConfig,
+                       rng: jax.Array) -> Tuple[TrainState, Any]:
+    tx = make_captioner_optimizer(config, params, model_cfg.tie_embeddings)
+    return TrainState(params=params, opt_state=tx.init(params), rng=rng), tx
+
+
+def make_train_step(tx, model_cfg: CaptionerConfig, kld_weight: float):
+    """Returns jitted ``train_step(state, batch) -> (state, metrics)``."""
+
+    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
+        rng, step_rng = jax.random.split(state.rng)
+
+        def loss_fn(params):
+            out = train_forward(params, model_cfg, batch, step_rng)
+            reconstr = jnp.mean(out["loss"])
+            kld = jnp.mean(out["kld"])
+            return reconstr + kld / kld_weight, (reconstr, kld)
+
+        (loss, (reconstr, kld)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = jax.tree_util.tree_map(lambda p, u: p + u, state.params, updates)
+        metrics = {"loss": loss, "reconstr_loss": reconstr, "kld_loss": kld}
+        return TrainState(new_params, new_opt_state, rng), metrics
+
+    return jax.jit(train_step, donate_argnums=(0,))

@@ -1,0 +1,120 @@
+"""Golden equivalence of the default/exception-decomposition CBS
+(`cbs_fast`) against the dense reference-semantics CBS (`cbs`)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from style_seqcvae_tpu.data.vocabulary import BOUNDARY_TOKEN, UNK_TOKEN, Vocabulary
+from style_seqcvae_tpu.decoding.cbs import constrained_beam_search
+from style_seqcvae_tpu.decoding.cbs_fast import (
+    constrained_beam_search_fast,
+    fsm_to_tables,
+    stack_fsm_tables,
+)
+from style_seqcvae_tpu.decoding.fsm import FiniteStateMachineBuilder, pack_fsm, unpack_fsm
+
+END = 1
+
+
+def table_step(table):
+    tj = jnp.asarray(table)
+
+    def step(tokens, state, rng):
+        return tj[tokens], state
+
+    return step
+
+
+def make_logprob_table(V, seed):
+    rng = np.random.RandomState(seed)
+    logits = rng.randn(V, V).astype(np.float32) * 2
+    return logits - np.log(np.exp(logits).sum(-1, keepdims=True))
+
+
+def compare(fsm_dense_list, V, T=6, K=3, pnbs=2, seed=0):
+    B = len(fsm_dense_list)
+    table = make_logprob_table(V, seed)
+    start = np.full((B,), 0)
+
+    S = fsm_dense_list[0].shape[0]
+    packed = jnp.asarray(np.stack([pack_fsm(f) for f in fsm_dense_list]))
+    tables = stack_fsm_tables([fsm_to_tables(f) for f in fsm_dense_list])
+
+    step = table_step(table)
+    seq_d, lp_d = constrained_beam_search(
+        step, jnp.asarray(start), {"d": jnp.zeros((B,))}, packed,
+        jax.random.PRNGKey(0), max_steps=T, beam_size=K,
+        per_node_beam_size=pnbs, end_index=END)
+    seq_f, lp_f = constrained_beam_search_fast(
+        step, jnp.asarray(start), {"d": jnp.zeros((B,))}, tables,
+        jax.random.PRNGKey(0), max_steps=T, beam_size=K,
+        per_node_beam_size=pnbs, end_index=END)
+
+    lp_d, lp_f = np.asarray(lp_d), np.asarray(lp_f)
+    seq_d, seq_f = np.asarray(seq_d), np.asarray(seq_f)
+    reachable = lp_d > -1e19
+    np.testing.assert_allclose(np.where(reachable, lp_f, 0),
+                               np.where(reachable, lp_d, 0), atol=1e-4)
+    np.testing.assert_array_equal(seq_f[reachable], seq_d[reachable])
+
+
+def test_fast_equals_dense_builder_fsm():
+    vocab = Vocabulary([UNK_TOKEN, BOUNDARY_TOKEN, "a", "dog", "dogs", "cat",
+                        "fire", "hydrant", "red", "blue", "runs", "sits"])
+    b = FiniteStateMachineBuilder(vocab, max_given_constraints=2,
+                                  max_words_per_constraint=2)
+    b.add_wordforms("dog", ["dog", "dogs"])
+    b.add_wordforms("cat", ["cat"])
+    b.add_wordforms("fire", ["fire"])
+    b.add_wordforms("hydrant", ["hydrant"])
+    V = vocab.get_vocab_size()
+
+    fsm1, used1, _ = b.build(["dog", "cat"])
+    fsm2, used2, _ = b.build(["dog", "fire hydrant"])
+    S = max(used1, used2, 4)
+    compare([fsm1[:S, :S], fsm2[:S, :S]], V)
+
+
+def test_fast_equals_dense_nondeterministic():
+    """Shared wordform 'fire' between a single-word and a multi-word
+    constraint → nondeterministic transition from state 0."""
+    vocab = Vocabulary([UNK_TOKEN, BOUNDARY_TOKEN, "a", "fire", "hydrant",
+                        "truck", "cat", "runs"])
+    b = FiniteStateMachineBuilder(vocab, max_given_constraints=2,
+                                  max_words_per_constraint=2)
+    b.add_wordforms("fire", ["fire"])
+    b.add_wordforms("hydrant", ["hydrant"])
+    fsm, used, _ = b.build(["fire", "fire hydrant"])
+    compare([fsm[:used, :used]], vocab.get_vocab_size(), seed=3)
+
+
+def test_fast_equals_dense_random_fsms():
+    """Randomized structured FSMs: random exception tokens per state."""
+    rng = np.random.RandomState(7)
+    V, S, B = 15, 6, 3
+    fsms = []
+    for _ in range(B):
+        fsm = np.zeros((S, S, V), np.uint8)
+        for s in range(S):
+            d = s if s < 4 else rng.randint(0, 4)   # sub-state style defaults
+            fsm[s, d, :] = 1
+            for _ in range(rng.randint(0, 4)):
+                v = rng.randint(2, V)
+                to = rng.randint(0, S)
+                fsm[s, d, v] = 0
+                fsm[s, to, v] = 1
+        fsms.append(fsm)
+    compare(fsms, V, T=7, K=2, pnbs=1, seed=11)
+    compare(fsms, V, T=5, K=3, pnbs=3, seed=12)
+
+
+def test_small_top_k_matches_lax():
+    from style_seqcvae_tpu.ops.topk import small_top_k
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(4, 9, 33).astype(np.float32))
+    for k in (1, 2, 5):
+        v1, i1 = small_top_k(x, k)
+        v2, i2 = jax.lax.top_k(x, k)
+        np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
