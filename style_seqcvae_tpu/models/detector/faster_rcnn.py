@@ -1,0 +1,226 @@
+"""Faster R-CNN with per-RoI multi-label attribute head — full assembly.
+
+TPU-native redesign of frcnn/lib/model/faster_rcnn/faster_rcnn.py:22-313 +
+resnet.py:220-294:
+
+backbone (C4) → RPN → proposal layer → [train: proposal-target sampling] →
+RoIAlign → layer4+GAP (2048-d bottom-up feature) → class head (softmax),
+class-specific bbox head, **attribute head** (sigmoid multi-label, class-
+balanced loss, reference faster_rcnn.py:278-313 / trained with 0.5 weight,
+trainval_net.py:345-346).
+
+Everything is one jittable function per mode; losses mirror the reference:
+RPN CE + smooth-L1(σ=3), RCNN CE + smooth-L1(σ=1, per-class-gathered
+deltas), CB sigmoid attribute loss averaged over RoIs that carry attributes.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from style_seqcvae_tpu.models.detector import resnet
+from style_seqcvae_tpu.models.detector.anchors import generate_anchors, shifted_anchors
+from style_seqcvae_tpu.models.detector.rpn import (
+    RPNConfig,
+    anchor_target,
+    init_rpn,
+    proposal_layer,
+    rpn_heads,
+    rpn_losses,
+    smooth_l1_loss,
+)
+from style_seqcvae_tpu.models.detector.targets import ProposalTargetConfig, proposal_target
+from style_seqcvae_tpu.ops.roi_align import roi_align, roi_pool
+
+
+class DetectorConfig(NamedTuple):
+    num_classes: int = 81
+    num_att_classes: int = 196
+    depth: int = 101
+    pooling_mode: str = "align"          # cfgs/res101.yml:17
+    pooling_size: int = 7
+    feat_stride: int = 16
+    anchor_scales: Tuple[int, ...] = (4, 8, 16, 32)
+    anchor_ratios: Tuple[float, ...] = (0.5, 1.0, 2.0)
+    class_agnostic: bool = False
+    rpn: RPNConfig = RPNConfig()
+    pt: ProposalTargetConfig = ProposalTargetConfig()
+    cb_beta: float = 0.9                 # faster_rcnn.py:195 call site
+    cb_gamma: float = 1.0
+    att_loss_weight: float = 0.5         # trainval_net.py:345-346
+
+    @property
+    def num_anchors(self) -> int:
+        return len(self.anchor_scales) * len(self.anchor_ratios)
+
+
+def init_detector(key, cfg: DetectorConfig, dtype=jnp.float32) -> Dict[str, Any]:
+    k = jax.random.split(key, 5)
+    params: Dict[str, Any] = {"resnet": resnet.init_resnet(k[0], cfg.depth, dtype)}
+    params["rpn"] = init_rpn(k[1], 1024, cfg.num_anchors, dtype)
+
+    def linear(kk, fan_in, out, std):
+        return {"w": jax.random.normal(kk, (fan_in, out), dtype) * std,
+                "b": jnp.zeros((out,), dtype)}
+
+    # reference init: cls 0.01, bbox 0.001 (faster_rcnn.py:221-244);
+    # attribute head: normal 0.01 with bias init (resnet.py:245-248 /
+    # faster_rcnn.py:238).
+    params["cls_score"] = linear(k[2], 2048, cfg.num_classes, 0.01)
+    bbox_out = 4 if cfg.class_agnostic else 4 * cfg.num_classes
+    params["bbox_pred"] = linear(k[3], 2048, bbox_out, 0.001)
+    if cfg.num_att_classes:
+        params["cls_score_atts"] = linear(k[4], 2048, cfg.num_att_classes, 0.01)
+    return params
+
+
+def _linear(p, x):
+    return jnp.dot(x, p["w"], preferred_element_type=jnp.float32) + p["b"]
+
+
+def _pool_rois(params, cfg: DetectorConfig, base_feat, rois_flat):
+    if cfg.pooling_mode == "align":
+        pooled = roi_align(base_feat, rois_flat, spatial_scale=1.0 / cfg.feat_stride,
+                           pooled_height=cfg.pooling_size, pooled_width=cfg.pooling_size,
+                           sampling_ratio=2)
+    else:
+        pooled = roi_pool(base_feat, rois_flat, spatial_scale=1.0 / cfg.feat_stride,
+                          pooled_height=cfg.pooling_size, pooled_width=cfg.pooling_size)
+    return resnet.head_to_tail(params["resnet"], pooled)     # (R, 2048)
+
+
+def cb_sigmoid_loss(labels_mh: jnp.ndarray, logits: jnp.ndarray,
+                    samples_per_cls: jnp.ndarray, beta: float) -> jnp.ndarray:
+    """Class-balanced sigmoid BCE (faster_rcnn.py:278-313): per-example
+    weight = Σ_c labels·((1-β)/(1-β^n_c)) normalized to num_classes."""
+    n_cls = logits.shape[-1]
+    eff = 1.0 - jnp.power(beta, samples_per_cls)
+    w = (1.0 - beta) / eff
+    w = w / jnp.sum(w) * n_cls
+    per_ex = jnp.sum(w[None, :] * labels_mh, axis=1, keepdims=True)   # (R, 1)
+    bce = jnp.maximum(logits, 0) - logits * labels_mh + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+    return per_ex * bce                                                # (R, C)
+
+
+def detector_forward_train(params, cfg: DetectorConfig, batch, key):
+    """batch: images (B, H, W, 3), im_info (B, 3), gt_boxes (B, G, 5),
+    num_gt (B,), gt_atts (B, G, n_att). Returns loss dict (reference
+    trainval_net.py:345-346 combination is done by the caller)."""
+    images, im_info = batch["images"], batch["im_info"]
+    gt_boxes, num_gt, gt_atts = batch["gt_boxes"], batch["num_gt"], batch["gt_atts"]
+    B, H, W, _ = images.shape
+
+    base_feat = resnet.backbone(params["resnet"], images)
+    fh, fw = base_feat.shape[1], base_feat.shape[2]
+    anchors = jnp.asarray(shifted_anchors(
+        fh, fw, cfg.feat_stride,
+        generate_anchors(cfg.feat_stride, cfg.anchor_ratios, cfg.anchor_scales)))
+
+    cls_logits, bbox_deltas = rpn_heads(params["rpn"], base_feat)
+    k_at, k_pt = jax.random.split(key)
+
+    rois, _, roi_valid = proposal_layer(
+        cls_logits, bbox_deltas, anchors, im_info,
+        pre_nms_top_n=cfg.rpn.pre_nms_top_n, post_nms_top_n=cfg.rpn.post_nms_top_n,
+        nms_thresh=cfg.rpn.nms_thresh)
+
+    labels_a, targets_a, in_w_a, out_w_a = anchor_target(
+        (fh, fw), anchors, gt_boxes, num_gt, im_info, k_at, cfg.rpn)
+    rpn_loss_cls, rpn_loss_box = rpn_losses(
+        cls_logits, bbox_deltas, labels_a, targets_a, in_w_a, out_w_a)
+
+    rois_s, labels, bbox_targets, inside_w, labels_atts, fg_mask = proposal_target(
+        rois, roi_valid, gt_boxes, num_gt, gt_atts, k_pt, cfg.pt)
+
+    R = cfg.pt.rois_per_image
+    pooled_feat = _pool_rois(params, cfg, base_feat, rois_s.reshape(B * R, 5))
+
+    cls_score = _linear(params["cls_score"], pooled_feat)          # (BR, C)
+    bbox_pred = _linear(params["bbox_pred"], pooled_feat)
+    labels_flat = labels.reshape(B * R).astype(jnp.int32)
+    if not cfg.class_agnostic:
+        bp = bbox_pred.reshape(B * R, -1, 4)
+        bbox_pred = jnp.take_along_axis(bp, labels_flat[:, None, None], axis=1)[:, 0, :]
+
+    logp = jax.nn.log_softmax(cls_score, axis=-1)
+    loss_cls = -jnp.mean(jnp.take_along_axis(logp, labels_flat[:, None], axis=-1))
+
+    # reference: outside weights == inside weights (fg indicator); sum over
+    # the 4 coords (dim=[1]) then mean over all B*R rois.
+    loss_bbox = smooth_l1_loss(
+        bbox_pred.reshape(B * R, 4), bbox_targets.reshape(B * R, 4),
+        inside_w.reshape(B * R, 4), inside_w.reshape(B * R, 4),
+        sigma=1.0, reduce_dims=(1,))
+
+    losses = {"rpn_cls": rpn_loss_cls, "rpn_box": rpn_loss_box,
+              "rcnn_cls": loss_cls, "rcnn_box": loss_bbox}
+
+    if cfg.num_att_classes:
+        att_logits = _linear(params["cls_score_atts"], pooled_feat)
+        atts_flat = labels_atts.reshape(B * R, -1)
+        cb = cb_sigmoid_loss(atts_flat, att_logits,
+                             jnp.asarray(batch["att_counts"], jnp.float32), cfg.cb_beta)
+        has_atts = jnp.sum(atts_flat, axis=1) > 0                   # (BR,)
+        # reference: CB_loss[valid_indices].mean() over (rows-with-atts, C)
+        denom = jnp.maximum(jnp.sum(has_atts) * cb.shape[1], 1)
+        loss_atts = jnp.sum(jnp.where(has_atts[:, None], cb, 0.0)) / denom
+        any_atts = jnp.sum(atts_flat) > 0
+        losses["rcnn_cls_atts"] = jnp.where(any_atts, loss_atts, 0.0)
+
+    losses["total"] = (losses["rpn_cls"] + losses["rpn_box"] + losses["rcnn_cls"]
+                       + cfg.att_loss_weight * losses.get("rcnn_cls_atts", 0.0)
+                       + losses["rcnn_box"])
+    return losses
+
+
+def detector_forward_test(params, cfg: DetectorConfig, images, im_info,
+                          post_nms_top_n: int = 300, pre_nms_top_n: int = 6000,
+                          nms_thresh: float = 0.7):
+    """Inference forward (test_net.py:338-365 up to bbox decode inputs).
+
+    Returns dict with rois (B, P, 5), roi_valid, cls_prob (B, P, C),
+    cls_prob_atts (B, P, A), bbox_pred (B, P, 4C), pooled_feat (B, P, 2048)
+    — the per-RoI outputs the feature extractor consumes."""
+    B = images.shape[0]
+    base_feat = resnet.backbone(params["resnet"], images)
+    fh, fw = base_feat.shape[1], base_feat.shape[2]
+    anchors = jnp.asarray(shifted_anchors(
+        fh, fw, cfg.feat_stride,
+        generate_anchors(cfg.feat_stride, cfg.anchor_ratios, cfg.anchor_scales)))
+    cls_logits, bbox_deltas = rpn_heads(params["rpn"], base_feat)
+    rois, _, roi_valid = proposal_layer(
+        cls_logits, bbox_deltas, anchors, im_info,
+        pre_nms_top_n=pre_nms_top_n, post_nms_top_n=post_nms_top_n,
+        nms_thresh=nms_thresh)
+
+    P = rois.shape[1]
+    pooled_feat = _pool_rois(params, cfg, base_feat, rois.reshape(B * P, 5))
+    cls_prob = jax.nn.softmax(_linear(params["cls_score"], pooled_feat), axis=-1)
+    bbox_pred = _linear(params["bbox_pred"], pooled_feat)
+    out = {
+        "rois": rois, "roi_valid": roi_valid,
+        "cls_prob": cls_prob.reshape(B, P, -1),
+        "bbox_pred": bbox_pred.reshape(B, P, -1),
+        "pooled_feat": pooled_feat.reshape(B, P, -1),
+    }
+    if cfg.num_att_classes:
+        out["cls_prob_atts"] = jax.nn.sigmoid(
+            _linear(params["cls_score_atts"], pooled_feat)).reshape(B, P, -1)
+    return out
+
+
+def detector_trainable_labels(params) -> Any:
+    """Label pytree for the optimizer: frozen backbone pieces per
+    resnet.trainable_label, everything else trainable."""
+
+    def label(path, leaf):
+        keys = [getattr(p, "key", getattr(p, "name", str(p))) for p in path]
+        if "resnet" in keys:
+            return resnet.trainable_label([k for k in keys if k != "resnet"])
+        return "always"
+
+    return jax.tree_util.tree_map_with_path(label, params)

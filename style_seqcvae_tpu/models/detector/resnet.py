@@ -1,0 +1,123 @@
+"""ResNet backbone for the detector — NHWC, frozen BatchNorm.
+
+TPU-native equivalent of frcnn/lib/model/faster_rcnn/resnet.py:105-294:
+``RCNN_base`` = conv1..layer3 (stride 16, 1024 ch) and ``_head_to_tail`` =
+layer4 + global average pool → 2048-d bottom-up feature (resnet.py:292-294).
+All BatchNorms run in inference mode with constant statistics (the reference
+freezes every BN via ``Set_bn_fix`` / eval, resnet.py:255-291); conv1 and
+layer1 are non-trainable at FIXED_BLOCKS=1.
+
+Layout: NHWC activations, HWIO kernels (TPU-preferred). Weight import from
+torchvision checkpoints transposes OIHW → HWIO.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+
+LAYERS = {50: (3, 4, 6, 3), 101: (3, 4, 23, 3), 152: (3, 8, 36, 3)}
+
+
+def _conv_init(key, shape, dtype=jnp.float32):
+    fan_in = shape[0] * shape[1] * shape[2]
+    std = jnp.sqrt(2.0 / fan_in)
+    return jax.random.normal(key, shape, dtype) * std
+
+
+def _bn_init(ch, dtype=jnp.float32):
+    return {"scale": jnp.ones((ch,), dtype), "offset": jnp.zeros((ch,), dtype),
+            "mean": jnp.zeros((ch,), dtype), "var": jnp.ones((ch,), dtype)}
+
+
+def init_bottleneck(key, in_ch, planes, stride, dtype=jnp.float32) -> Dict[str, Any]:
+    k = jax.random.split(key, 4)
+    p = {
+        "conv1": _conv_init(k[0], (1, 1, in_ch, planes), dtype), "bn1": _bn_init(planes, dtype),
+        "conv2": _conv_init(k[1], (3, 3, planes, planes), dtype), "bn2": _bn_init(planes, dtype),
+        "conv3": _conv_init(k[2], (1, 1, planes, planes * 4), dtype), "bn3": _bn_init(planes * 4, dtype),
+    }
+    if stride != 1 or in_ch != planes * 4:
+        p["downsample"] = {"conv": _conv_init(k[3], (1, 1, in_ch, planes * 4), dtype),
+                           "bn": _bn_init(planes * 4, dtype)}
+    return p
+
+
+def init_resnet(key, depth: int = 101, dtype=jnp.float32) -> Dict[str, Any]:
+    blocks = LAYERS[depth]
+    keys = jax.random.split(key, 5)
+    params: Dict[str, Any] = {
+        "conv1": _conv_init(keys[0], (7, 7, 3, 64), dtype),
+        "bn1": _bn_init(64, dtype),
+    }
+    in_ch = 64
+    for li, (n, planes) in enumerate(zip(blocks, (64, 128, 256, 512)), start=1):
+        layer: List[Dict[str, Any]] = []
+        lkeys = jax.random.split(keys[li], n)
+        for bi in range(n):
+            stride = 1 if (li == 1 or bi > 0) else 2
+            layer.append(init_bottleneck(lkeys[bi], in_ch, planes, stride, dtype))
+            in_ch = planes * 4
+        params[f"layer{li}"] = layer
+    return params
+
+
+def _bn(x, p):
+    inv = jax.lax.rsqrt(p["var"] + 1e-5)
+    return (x - p["mean"]) * inv * p["scale"] + p["offset"]
+
+
+def _conv(x, w, stride=1, padding="SAME"):
+    return jax.lax.conv_general_dilated(
+        x, w, (stride, stride), padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def _bottleneck(x, p, stride):
+    out = jax.nn.relu(_bn(_conv(x, p["conv1"]), p["bn1"]))
+    out = jax.nn.relu(_bn(_conv(out, p["conv2"], stride), p["bn2"]))
+    out = _bn(_conv(out, p["conv3"]), p["bn3"])
+    if "downsample" in p:
+        x = _bn(_conv(x, p["downsample"]["conv"], stride), p["downsample"]["bn"])
+    return jax.nn.relu(out + x)
+
+
+def _layer(x, blocks, first_stride):
+    for bi, p in enumerate(blocks):
+        x = _bottleneck(x, p, first_stride if bi == 0 else 1)
+    return x
+
+
+def backbone(params, images: jnp.ndarray) -> jnp.ndarray:
+    """images (B, H, W, 3) BGR mean-subtracted → C4 features (B, H/16, W/16, 1024)."""
+    x = jax.nn.relu(_bn(_conv(images, params["conv1"], stride=2, padding=[(3, 3), (3, 3)]),
+                        params["bn1"]))
+    x = jax.lax.reduce_window(x, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
+                              [(0, 0), (1, 1), (1, 1), (0, 0)])
+    x = _layer(x, params["layer1"], 1)
+    x = _layer(x, params["layer2"], 2)
+    x = _layer(x, params["layer3"], 2)
+    return x
+
+
+def head_to_tail(params, pooled: jnp.ndarray) -> jnp.ndarray:
+    """RoI-pooled (R, 7, 7, 1024) → layer4 → GAP → (R, 2048) bottom-up
+    feature (resnet.py:292-294)."""
+    x = _layer(pooled, params["layer4"], 2)
+    return jnp.mean(x, axis=(1, 2))
+
+
+def trainable_label(path_keys: List[str]) -> str:
+    """'never' for frozen pieces (conv1/bn*/layer1 + all BN stats), matching
+    FIXED_BLOCKS=1 + Set_bn_fix (resnet.py:255-291)."""
+    keys = [str(k) for k in path_keys]
+    if any(k.startswith("bn") or k in ("scale", "offset", "mean", "var",
+                                       "downsample_bn") or k == "bn" for k in keys):
+        return "never"
+    if "conv1" in keys and not any(k.startswith("layer") for k in keys):
+        return "never"
+    if "layer1" in keys:
+        return "never"
+    return "always"

@@ -1,0 +1,143 @@
+"""RoIAlign / RoIPool — pure-JAX (XLA gather) implementations.
+
+TPU-native equivalents of the reference CUDA kernels
+(frcnn/lib/model/csrc/cuda/ROIAlign_cuda.cu:16-60 forward bilinear sampling;
+ROIPool_cuda.cu max pooling). Design:
+
+* NHWC layout (TPU-preferred) — features (B, H, W, C), rois (R, 5) as
+  ``[batch_idx, x1, y1, x2, y2]`` in input-image coordinates.
+* All sample coordinates for the (R, PH, PW, S, S) grid are computed at
+  once; the four bilinear corners become one flat gather over (B*H*W, C)
+  which XLA vectorizes well on TPU. Autodiff of the gather yields the
+  scatter-add backward — exactly the CUDA backward kernel's semantics.
+* ``sampling_ratio`` is static (default 2). The reference's adaptive
+  ``ceil(roi_h / PH)`` grid (used when sampling_ratio=0) is data-dependent
+  and therefore unsupported under jit; this is a documented divergence with
+  statistical (not bitwise) parity.
+
+A Pallas kernel variant lives in ``style_seqcvae_tpu/ops/pallas/``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _bilinear_weights(y: jnp.ndarray, x: jnp.ndarray, height: int, width: int):
+    """Corner indices + weights with the CUDA kernel's boundary rules
+    (ROIAlign_cuda.cu bilinear_interpolate): out of [-1, H] → zero; clamp
+    negatives to 0."""
+    empty = (y < -1.0) | (y > height) | (x < -1.0) | (x > width)
+    y = jnp.clip(y, 0.0, None)
+    x = jnp.clip(x, 0.0, None)
+    y_low = jnp.floor(y).astype(jnp.int32)
+    x_low = jnp.floor(x).astype(jnp.int32)
+    y_low = jnp.minimum(y_low, height - 1)
+    x_low = jnp.minimum(x_low, width - 1)
+    y_high = jnp.minimum(y_low + 1, height - 1)
+    x_high = jnp.minimum(x_low + 1, width - 1)
+    # note: when y >= H-1 the kernel sets y = y_low (exact), weights collapse
+    ly = jnp.clip(y - y_low.astype(y.dtype), 0.0, 1.0)
+    lx = jnp.clip(x - x_low.astype(x.dtype), 0.0, 1.0)
+    hy, hx = 1.0 - ly, 1.0 - lx
+    w = jnp.stack([hy * hx, hy * lx, ly * hx, ly * lx], axis=-1)
+    w = jnp.where(empty[..., None], 0.0, w)
+    ys = jnp.stack([y_low, y_low, y_high, y_high], axis=-1)
+    xs = jnp.stack([x_low, x_high, x_low, x_high], axis=-1)
+    return ys, xs, w
+
+
+def roi_align(features: jnp.ndarray, rois: jnp.ndarray, *,
+              spatial_scale: float, pooled_height: int = 7,
+              pooled_width: int = 7, sampling_ratio: int = 2) -> jnp.ndarray:
+    """features (B, H, W, C); rois (R, 5) → (R, PH, PW, C)."""
+    B, H, W, C = features.shape
+    R = rois.shape[0]
+    S = sampling_ratio
+
+    batch_idx = rois[:, 0].astype(jnp.int32)
+    x1 = rois[:, 1] * spatial_scale
+    y1 = rois[:, 2] * spatial_scale
+    x2 = rois[:, 3] * spatial_scale
+    y2 = rois[:, 4] * spatial_scale
+    roi_w = jnp.maximum(x2 - x1, 1.0)
+    roi_h = jnp.maximum(y2 - y1, 1.0)
+    bin_w = roi_w / pooled_width
+    bin_h = roi_h / pooled_height
+
+    ph = jnp.arange(pooled_height, dtype=features.dtype)
+    pw = jnp.arange(pooled_width, dtype=features.dtype)
+    iy = (jnp.arange(S, dtype=features.dtype) + 0.5) / S
+    ix = (jnp.arange(S, dtype=features.dtype) + 0.5) / S
+
+    # y: (R, PH, S); x: (R, PW, S)
+    y = (y1[:, None, None] + (ph[None, :, None] + iy[None, None, :]) * bin_h[:, None, None])
+    x = (x1[:, None, None] + (pw[None, :, None] + ix[None, None, :]) * bin_w[:, None, None])
+
+    # full grid (R, PH, PW, S, S)
+    yg = jnp.broadcast_to(y[:, :, None, :, None], (R, pooled_height, pooled_width, S, S))
+    xg = jnp.broadcast_to(x[:, None, :, None, :], (R, pooled_height, pooled_width, S, S))
+
+    ys, xs, wts = _bilinear_weights(yg, xg, H, W)     # (..., 4)
+    flat = features.reshape(B * H * W, C)
+    base = (batch_idx * H * W)[:, None, None, None, None, None]
+    idx = base + ys * W + xs                          # (R, PH, PW, S, S, 4)
+    vals = flat[idx.reshape(-1)].reshape(idx.shape + (C,))
+    out = jnp.sum(vals * wts[..., None], axis=-2)     # bilinear combine
+    return jnp.mean(out, axis=(-3, -2))               # average the S×S samples
+
+
+def roi_pool(features: jnp.ndarray, rois: jnp.ndarray, *, spatial_scale: float,
+             pooled_height: int = 7, pooled_width: int = 7) -> jnp.ndarray:
+    """Max RoI pooling (ROIPool_cuda.cu semantics: integer bin edges via
+    floor/ceil of scaled rounded roi, empty bins → 0).
+
+    features (B, H, W, C); rois (R, 5) → (R, PH, PW, C)."""
+    B, H, W, C = features.shape
+    R = rois.shape[0]
+
+    batch_idx = rois[:, 0].astype(jnp.int32)
+    x1 = jnp.round(rois[:, 1] * spatial_scale)
+    y1 = jnp.round(rois[:, 2] * spatial_scale)
+    x2 = jnp.round(rois[:, 3] * spatial_scale)
+    y2 = jnp.round(rois[:, 4] * spatial_scale)
+    roi_w = jnp.maximum(x2 - x1 + 1.0, 1.0)
+    roi_h = jnp.maximum(y2 - y1 + 1.0, 1.0)
+    bin_w = roi_w / pooled_width
+    bin_h = roi_h / pooled_height
+
+    # Per output bin, the max over its (dynamic) input window. Fixed-shape
+    # approach: evaluate every (h, w) position's bin assignment per roi and
+    # segment-max via masking. Memory: (R, PH, PW, H, W) is too large, so we
+    # iterate over the pooled grid (49 static steps of (R, H, W, C) masks is
+    # still large) — instead use a gather of a fixed SxS supersampled grid
+    # approximating max pooling only when exact parity is not required.
+    # The reference configs use POOLING_MODE=align (cfgs/res101.yml:17), so
+    # roi_pool is a secondary path: implement exact semantics with a scan
+    # over the 49 bins.
+    hs = jnp.arange(H, dtype=jnp.float32)
+    ws = jnp.arange(W, dtype=jnp.float32)
+
+    def one_bin(carry, bin_idx):
+        phb = bin_idx // pooled_width
+        pwb = bin_idx % pooled_width
+        hstart = jnp.floor(phb * bin_h) + y1
+        hend = jnp.ceil((phb + 1) * bin_h) + y1
+        wstart = jnp.floor(pwb * bin_w) + x1
+        wend = jnp.ceil((pwb + 1) * bin_w) + x1
+        hstart = jnp.clip(hstart, 0, H)
+        hend = jnp.clip(hend, 0, H)
+        wstart = jnp.clip(wstart, 0, W)
+        wend = jnp.clip(wend, 0, W)
+        hmask = (hs[None, :] >= hstart[:, None]) & (hs[None, :] < hend[:, None])
+        wmask = (ws[None, :] >= wstart[:, None]) & (ws[None, :] < wend[:, None])
+        mask = hmask[:, :, None] & wmask[:, None, :]           # (R, H, W)
+        feats_r = features[batch_idx]                          # (R, H, W, C)
+        masked = jnp.where(mask[..., None], feats_r, -jnp.inf)
+        mx = jnp.max(masked, axis=(1, 2))
+        empty = ~jnp.any(mask, axis=(1, 2))
+        return carry, jnp.where(empty[:, None], 0.0, mx)
+
+    _, bins = jax.lax.scan(one_bin, None, jnp.arange(pooled_height * pooled_width))
+    return jnp.transpose(bins, (1, 0, 2)).reshape(R, pooled_height, pooled_width, C)
