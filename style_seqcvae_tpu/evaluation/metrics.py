@@ -1,0 +1,225 @@
+"""Caption metrics: BLEU-1..4, ROUGE-L, CIDEr(-D-less), METEOR (gated).
+
+Self-contained implementations matching the pycocoevalcap algorithms the
+reference imports (eval/eval.py:10-13) — including their quirks:
+
+* BLEU: corpus-level with "closest" reference length, tiny/small smoothing
+  constants (1e-15 / 1e-9) and the brevity-penalty form of
+  pycocoevalcap's ``bleu_scorer.py``.
+* ROUGE-L: beta=1.2, max precision and max recall taken over references
+  SEPARATELY before the F-measure.
+* CIDEr: tf-idf over 1-4-grams with df from the evaluation refs,
+  ``ref_len = log(#images)``, clipped similarity, Gaussian length penalty
+  (sigma=6), ×10 — including the pycocoevalcap quirk of counting sentence
+  "length" from bigram totals.
+* METEOR requires the meteor-1.5 JVM jar; :class:`Meteor` uses it when
+  ``METEOR_JAR`` points at it and java is available, else raises — the
+  evaluation pipeline degrades gracefully (documented divergence).
+
+The ``compute_score(gts, res) -> (corpus_score, per_image_scores)``
+contract is identical to pycocoevalcap so the eval pipeline reads the same.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+import subprocess
+from collections import defaultdict
+from typing import Dict, List, Sequence, Tuple
+
+
+def _ngram_counts(words: Sequence[str], n: int) -> Dict[tuple, int]:
+    counts: Dict[tuple, int] = defaultdict(int)
+    for k in range(1, n + 1):
+        for i in range(len(words) - k + 1):
+            counts[tuple(words[i:i + k])] += 1
+    return counts
+
+
+class Bleu:
+    def __init__(self, n: int = 4):
+        self._n = n
+
+    def compute_score(self, gts: Dict, res: Dict) -> Tuple[List[float], List[List[float]]]:
+        n = self._n
+        small, tiny = 1e-9, 1e-15
+        total_testlen = 0
+        total_reflen = 0
+        total_guess = [0] * n
+        total_correct = [0] * n
+        per_image: List[List[float]] = [[] for _ in range(n)]
+
+        for image_id in gts:
+            hyp = res[image_id][0].split()
+            refs = [r.split() for r in gts[image_id]]
+            testlen = len(hyp)
+            # closest reference length (ties → shorter, per pycocoevalcap)
+            reflen = min((abs(len(r) - testlen), len(r)) for r in refs)[1]
+
+            maxcounts: Dict[tuple, int] = defaultdict(int)
+            for r in refs:
+                for ng, c in _ngram_counts(r, n).items():
+                    maxcounts[ng] = max(maxcounts[ng], c)
+            hyp_counts = _ngram_counts(hyp, n)
+            guess = [max(0, testlen - k) for k in range(n)]
+            correct = [0] * n
+            for ng, c in hyp_counts.items():
+                correct[len(ng) - 1] += min(c, maxcounts.get(ng, 0))
+
+            total_testlen += testlen
+            total_reflen += reflen
+            for k in range(n):
+                total_guess[k] += guess[k]
+                total_correct[k] += correct[k]
+
+            # per-segment scores (used by the oracle argmax)
+            bleu = 1.0
+            for k in range(n):
+                bleu *= (correct[k] + tiny) / (guess[k] + small)
+                b = bleu ** (1.0 / (k + 1))
+                ratio = (testlen + tiny) / (reflen + small)
+                if ratio < 1:
+                    b *= math.exp(1 - 1 / ratio)
+                per_image[k].append(b)
+
+        corpus: List[float] = []
+        bleu = 1.0
+        for k in range(n):
+            bleu *= (total_correct[k] + tiny) / (total_guess[k] + small)
+            b = bleu ** (1.0 / (k + 1))
+            ratio = (total_testlen + tiny) / (total_reflen + small)
+            if ratio < 1:
+                b *= math.exp(1 - 1 / ratio)
+            corpus.append(b)
+        return corpus, per_image
+
+
+def _lcs_len(a: Sequence[str], b: Sequence[str]) -> int:
+    if not a or not b:
+        return 0
+    prev = [0] * (len(b) + 1)
+    for i in range(1, len(a) + 1):
+        cur = [0] * (len(b) + 1)
+        ai = a[i - 1]
+        for j in range(1, len(b) + 1):
+            if ai == b[j - 1]:
+                cur[j] = prev[j - 1] + 1
+            else:
+                cur[j] = max(prev[j], cur[j - 1])
+        prev = cur
+    return prev[-1]
+
+
+class Rouge:
+    def __init__(self, beta: float = 1.2):
+        self._beta = beta
+
+    def calc_score(self, candidate: List[str], refs: List[str]) -> float:
+        hyp = candidate[0].split()
+        prec, rec = [], []
+        for ref in refs:
+            r = ref.split()
+            lcs = _lcs_len(hyp, r)
+            prec.append(lcs / len(hyp) if hyp else 0.0)
+            rec.append(lcs / len(r) if r else 0.0)
+        prec_max, rec_max = max(prec), max(rec)
+        if prec_max != 0 and rec_max != 0:
+            b2 = self._beta ** 2
+            return ((1 + b2) * prec_max * rec_max) / (rec_max + b2 * prec_max)
+        return 0.0
+
+    def compute_score(self, gts: Dict, res: Dict) -> Tuple[float, List[float]]:
+        scores = [self.calc_score(res[i], gts[i]) for i in gts]
+        return float(sum(scores) / len(scores)), scores
+
+
+class Cider:
+    def __init__(self, n: int = 4, sigma: float = 6.0):
+        self._n = n
+        self._sigma = sigma
+
+    def compute_score(self, gts: Dict, res: Dict) -> Tuple[float, List[float]]:
+        n, sigma = self._n, self._sigma
+        image_ids = list(gts.keys())
+
+        # document frequency over reference sets
+        doc_freq: Dict[tuple, float] = defaultdict(float)
+        for i in image_ids:
+            seen = set()
+            for ref in gts[i]:
+                seen.update(_ngram_counts(ref.split(), n).keys())
+            for ng in seen:
+                doc_freq[ng] += 1
+        ref_len = math.log(float(len(image_ids)))
+
+        def counts2vec(counts):
+            vec = [defaultdict(float) for _ in range(n)]
+            norm = [0.0] * n
+            length = 0
+            for ng, tf in counts.items():
+                df = math.log(max(1.0, doc_freq[ng]))
+                k = len(ng) - 1
+                vec[k][ng] = float(tf) * (ref_len - df)
+                norm[k] += vec[k][ng] ** 2
+                if k == 1:  # pycocoevalcap quirk: length from bigram totals
+                    length += tf
+            return vec, [math.sqrt(x) for x in norm], length
+
+        def sim(vh, vr, nh, nr, lh, lr):
+            delta = float(lh - lr)
+            val = [0.0] * n
+            for k in range(n):
+                for ng in vh[k]:
+                    val[k] += min(vh[k][ng], vr[k][ng]) * vr[k][ng]
+                if nh[k] != 0 and nr[k] != 0:
+                    val[k] /= nh[k] * nr[k]
+                val[k] *= math.exp(-(delta ** 2) / (2 * sigma ** 2))
+            return val
+
+        scores: List[float] = []
+        for i in image_ids:
+            vh, nh, lh = counts2vec(_ngram_counts(res[i][0].split(), n))
+            score = [0.0] * n
+            for ref in gts[i]:
+                vr, nr, lr = counts2vec(_ngram_counts(ref.split(), n))
+                s = sim(vh, vr, nh, nr, lh, lr)
+                score = [a + b for a, b in zip(score, s)]
+            score_avg = sum(score) / n / len(gts[i]) * 10.0
+            scores.append(score_avg)
+        return float(sum(scores) / len(scores)), scores
+
+
+class Meteor:
+    """JVM METEOR wrapper (pycocoevalcap protocol). Requires java and the
+    meteor-1.5.jar (env ``METEOR_JAR``). Raises RuntimeError when absent —
+    callers gate on :func:`meteor_available`."""
+
+    def __init__(self):
+        jar = os.environ.get("METEOR_JAR", "")
+        if not (jar and os.path.exists(jar) and shutil.which("java")):
+            raise RuntimeError(
+                "METEOR requires java + METEOR_JAR pointing at meteor-1.5.jar")
+        self._proc = subprocess.Popen(
+            ["java", "-jar", "-Xmx2G", jar, "-", "-", "-stdio", "-l", "en", "-norm"],
+            stdin=subprocess.PIPE, stdout=subprocess.PIPE, text=True)
+
+    def compute_score(self, gts: Dict, res: Dict) -> Tuple[float, List[float]]:
+        image_ids = list(gts.keys())
+        eval_line = "EVAL"
+        for i in image_ids:
+            stat_line = "SCORE ||| " + " ||| ".join(gts[i]) + " ||| " + res[i][0]
+            self._proc.stdin.write(stat_line.replace("\n", " ") + "\n")
+            self._proc.stdin.flush()
+            eval_line += " ||| " + self._proc.stdout.readline().strip()
+        self._proc.stdin.write(eval_line + "\n")
+        self._proc.stdin.flush()
+        scores = [float(self._proc.stdout.readline().strip()) for _ in image_ids]
+        final = float(self._proc.stdout.readline().strip())
+        return final, scores
+
+
+def meteor_available() -> bool:
+    jar = os.environ.get("METEOR_JAR", "")
+    return bool(jar and os.path.exists(jar) and shutil.which("java"))

@@ -1,0 +1,131 @@
+"""Metric tests: exactness on hand-computable cases, known invariants
+(perfect match scores, oracle ≥ mean), and pipeline structure."""
+
+import math
+
+import numpy as np
+import pytest
+
+from style_seqcvae_tpu.evaluation.eval import (
+    eval_style,
+    evaluate,
+    n_gram_diversity,
+    preprocess_coco_annots,
+    preprocess_updown_output,
+)
+from style_seqcvae_tpu.evaluation.metrics import Bleu, Cider, Rouge
+
+
+def test_bleu_perfect_match():
+    gts = {1: ["a dog runs in the park"], 2: ["the cat sleeps on a mat"]}
+    res = {1: ["a dog runs in the park"], 2: ["the cat sleeps on a mat"]}
+    corpus, per_img = Bleu().compute_score(gts, res)
+    for b in corpus:
+        assert abs(b - 1.0) < 1e-6
+    assert len(per_img[0]) == 2
+
+
+def test_bleu_unigram_precision_hand_computed():
+    # hyp: "the the dog", ref: "the dog barks"
+    # clipped unigram correct: the×1 + dog×1 = 2; guess = 3
+    # testlen 3 == reflen 3 → no brevity penalty
+    gts = {1: ["the dog barks"]}
+    res = {1: ["the the dog"]}
+    corpus, _ = Bleu().compute_score(gts, res)
+    assert abs(corpus[0] - 2.0 / 3.0) < 1e-6
+
+
+def test_bleu_brevity_penalty():
+    gts = {1: ["a b c d e f"]}
+    res = {1: ["a b c"]}
+    corpus, _ = Bleu().compute_score(gts, res)
+    # p1 = 1.0, ratio = 3/6 → bp = exp(1 - 2) = e^-1
+    assert abs(corpus[0] - math.exp(-1)) < 1e-4
+
+
+def test_rouge_hand_computed():
+    # hyp "a b c", ref "a x c": lcs=2, p=2/3, r=2/3 → F = 2/3
+    gts = {1: ["a x c"]}
+    res = {1: ["a b c"]}
+    mean, scores = Rouge().compute_score(gts, res)
+    assert abs(mean - 2.0 / 3.0) < 1e-6
+
+
+def test_rouge_separate_max_quirk():
+    """ROUGE-L takes max precision and max recall over refs SEPARATELY."""
+    gts = {1: ["a b", "a b c d e f g h"]}
+    res = {1: ["a b c d"]}
+    m, _ = Rouge().compute_score(gts, res)
+    # prec per ref: 2/4, 4/4 → max 1.0 ; rec per ref: 2/2, 4/8 → max 1.0
+    b2 = 1.2 ** 2
+    expected = ((1 + b2) * 1.0 * 1.0) / (1.0 + b2 * 1.0)
+    assert abs(m - expected) < 1e-6
+
+
+def test_cider_identical_is_ten():
+    gts = {i: ["a dog runs fast " + str(i)] for i in range(8)}
+    res = {i: ["a dog runs fast " + str(i)] for i in range(8)}
+    mean, scores = Cider().compute_score(gts, res)
+    assert abs(mean - 10.0) < 1e-6
+
+
+def test_cider_orders_quality():
+    gts = {1: ["a brown dog runs in the park", "the dog runs quickly"],
+           2: ["a cat sits on the mat", "the cat rests"],
+           3: ["a bird flies high", "the bird soars in the sky"]}
+    good = {1: ["a brown dog runs in the park"], 2: ["a cat sits on the mat"],
+            3: ["a bird flies high"]}
+    bad = {1: ["pizza tastes great"], 2: ["pizza tastes great"],
+           3: ["pizza tastes great"]}
+    g, _ = Cider().compute_score(gts, good)
+    b, _ = Cider().compute_score(gts, bad)
+    assert g > b
+
+
+def test_diversity():
+    caps = [
+        {"image_id": 1, "caption": "a dog"},
+        {"image_id": 1, "caption": "a dog"},      # duplicate → low diversity
+        {"image_id": 2, "caption": "a cat"},
+        {"image_id": 2, "caption": "the bird"},   # distinct → high diversity
+    ]
+    d1 = n_gram_diversity(caps, 1)
+    # image 1: 2 unique / 4 words = 0.5; image 2: 4 unique / 4 = 1.0
+    assert abs(d1 - 0.75) < 1e-6
+
+
+def test_eval_style():
+    wf = {"pos_adj": ["lovely", "nice"], "neg_adj": ["ugly"]}
+    gts = {1: ["a lovely dog", "a nice dog"], 2: ["an ugly cat"]}
+    res = [{1: ["a lovely dog"], 2: ["a plain cat"]}]
+    p, r, anp = eval_style(gts, res, wf)
+    assert p == 1.0                   # "lovely" predicted, in gts
+    assert abs(r - 1.0 / 3.0) < 1e-6  # of {lovely, nice, ugly} only lovely hit
+    assert anp == 0.5                 # image 2 has no lexicon word predicted
+
+
+def test_preprocess_and_grouping():
+    coco = {"annotations": [
+        {"image_id": 7, "caption": "A dog runs."},
+        {"image_id": 7, "caption": "The dog is running!"}]}
+    gts = preprocess_coco_annots(coco)
+    assert gts == {7: ["a dog runs", "the dog is running"]}
+
+    updown = [{"image_id": 7, "caption": "a dog"}, {"image_id": 7, "caption": "the dog"}]
+    res, gts2 = preprocess_updown_output(updown, gts)
+    assert len(res) == 2 and res[0][7] == ["a dog"] and res[1][7] == ["the dog"]
+
+
+def test_full_evaluate_oracle_geq_mean():
+    rng = np.random.RandomState(0)
+    words = "a the dog cat runs sits park mat red blue".split()
+    gts = {i: [" ".join(rng.choice(words, 6)) for _ in range(3)] for i in range(6)}
+    preds = []
+    for i in range(6):
+        for k in range(5):
+            preds.append({"image_id": i, "caption": " ".join(rng.choice(words, 6))})
+    out = evaluate(preds, gts, wordforms={"w": ["red", "blue"]}, do_meteor=False)
+    for m in ("B1", "B2", "B3", "B4", "cider", "rouge"):
+        assert out[m] >= out[f"mean {m}"] - 1e-9, m
+    assert "top5 Div-1" in out and "senti_prec" in out
+    assert 0 <= out["Div-1"] <= 1
