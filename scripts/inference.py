@@ -1,0 +1,155 @@
+#!/usr/bin/env python
+"""Caption inference with diverse z-sampling — CLI mirror of
+var_updown/scripts/inference.py:53-191.
+
+For every evaluation image: N_Z_SAMPLES decodes (vectorized on device, not a
+Python loop), optional Constrained Beam Search with one FSM per z-sample,
+best-beam selection with constraint satisfaction, detokenization truncated
+at @@BOUNDARY@@, predictions JSON ``[{"image_id", "caption"}…]`` in the same
+image-major / z-minor order the evaluator expects.
+"""
+
+import argparse
+import json
+import os
+import random
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+parser = argparse.ArgumentParser(description=__doc__)
+parser.add_argument("--config", required=True)
+parser.add_argument("--config-override", nargs="*", default=[])
+parser.add_argument("--checkpoint-path", default="")
+parser.add_argument("--checkpoint-name", default="checkpoint_best")
+parser.add_argument("--output-path", required=True)
+parser.add_argument("--in-memory", action="store_true")
+parser.add_argument("--cpu", action="store_true")
+parser.add_argument("--max-images", type=int, default=0)
+
+
+def main():
+    _A = parser.parse_args()
+    import jax
+
+    if _A.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from style_seqcvae_tpu.config import Config
+    from style_seqcvae_tpu.data.datasets import (
+        EvaluationDataset, EvaluationDatasetWithConstraints)
+    from style_seqcvae_tpu.data.latents import LatentDictionary
+    from style_seqcvae_tpu.data.vocabulary import (
+        Vocabulary, add_constraint_words_to_vocabulary)
+    from style_seqcvae_tpu.decoding.harness import DecodeHarness, detokenize
+    from style_seqcvae_tpu.decoding.select import select_best_beam_with_constraints
+    from style_seqcvae_tpu.models.captioner import (
+        CaptionerConfig, hashed_random_embeddings, init_captioner)
+    from style_seqcvae_tpu.training.checkpointing import CheckpointManager
+    from style_seqcvae_tpu.training.trainer import create_train_state
+
+    _C = Config(_A.config, _A.config_override)
+    random.seed(_C.RANDOM_SEED)
+    np.random.seed(_C.RANDOM_SEED)
+
+    vocabulary = Vocabulary.from_files(_C.DATA.VOCABULARY)
+    if _C.DATA.CBS.WORDFORMS:
+        add_constraint_words_to_vocabulary(vocabulary, _C.DATA.CBS.WORDFORMS)
+    if _C.DATA.CBS.WORDFORMS_ATTRIBS:
+        add_constraint_words_to_vocabulary(vocabulary, _C.DATA.CBS.WORDFORMS_ATTRIBS)
+
+    if _C.MODEL.USE_CBS:
+        dataset = EvaluationDatasetWithConstraints.from_config(
+            _C, vocabulary=vocabulary, in_memory=_A.in_memory)
+    else:
+        dataset = EvaluationDataset.from_config(_C, in_memory=_A.in_memory)
+
+    model_cfg = CaptionerConfig.from_config(_C, vocabulary)
+    tokens = [vocabulary.get_token_from_index(i)
+              for i in range(vocabulary.get_vocab_size())]
+    emb = (hashed_random_embeddings(tokens, model_cfg.embedding_size,
+                                    model_cfg.pad_index)
+           if model_cfg.tie_embeddings else None)
+    params = init_captioner(jax.random.PRNGKey(_C.RANDOM_SEED), model_cfg, emb)
+
+    if _A.checkpoint_path:
+        ckpt = CheckpointManager(_A.checkpoint_path)
+        state, _ = create_train_state(params, _C, model_cfg,
+                                      jax.random.PRNGKey(0))
+        state = ckpt.restore(_A.checkpoint_name, state)
+        params = state.params
+
+    latent_dict = None
+    if model_cfg.sentiment_vae == 2:
+        if model_cfg.latent_embedding == "glove" and _C.DATA.SENTIGLOVE:
+            latent_dict = LatentDictionary.from_sentiglove(
+                _C.DATA.SENTIGLOVE, model_cfg.z_space,
+                model_cfg.latent_embedding_multip)
+        elif model_cfg.latent_embedding == "senti_word_net" and _C.DATA.SWN_SCORES:
+            latent_dict = LatentDictionary.from_swn_scores(
+                _C.DATA.SWN_SCORES, model_cfg.z_space,
+                model_cfg.latent_embedding_multip)
+
+    harness = DecodeHarness(params, model_cfg)
+    n_z = max(_C.MODEL.N_Z_SAMPLES, 1)
+    key = jax.random.PRNGKey(_C.RANDOM_SEED + 7)
+
+    predictions = []
+    n_images = len(dataset) if not _A.max_images else min(_A.max_images, len(dataset))
+    for idx in range(n_images):
+        item = dataset[idx]
+        batch = dataset.collate_fn([item])
+        feats = batch["image_features"]
+        sentiment = batch["sentiment"]
+        obj_att_embeds = None
+        if latent_dict is not None and batch.get("obj_atts"):
+            obj_att_embeds = jnp.asarray(latent_dict.translate_obj_atts(
+                batch["obj_atts"], _C.DATA.MAX_BOXES))
+
+        key, k = jax.random.split(key)
+        if _C.MODEL.USE_CBS:
+            if model_cfg.cbs_simple:
+                best, _ = harness.decode_cbs(
+                    feats, sentiment, obj_att_embeds, batch["fsm_tables"],
+                    batch["num_constraints"], k, n_z)
+                captions_tok = best[:, 0, :]                  # (n_z, T)
+            else:
+                seqs, lp = harness.decode_cbs(
+                    feats, sentiment, obj_att_embeds, batch["fsm_tables"],
+                    batch["num_constraints"], k, n_z, return_all=True)
+                captions_tok = []
+                for z in range(n_z):
+                    ci = min(z, len(batch["candidates"]) - 1)
+                    best, _ = select_best_beam_with_constraints(
+                        seqs[z], lp[z],
+                        [int(batch["num_constraints"][min(z, len(batch["num_constraints"]) - 1)])],
+                        [batch["candidates"][ci]],
+                        [batch["constraint2states"][ci]],
+                        model_cfg.min_constraints_to_satisfy, cbs_simple=False)
+                    captions_tok.append(best[0])
+                captions_tok = np.stack(captions_tok)
+        else:
+            seqs, _ = harness.decode_beam(feats, sentiment, obj_att_embeds, k, n_z)
+            captions_tok = seqs[:, 0, :]
+
+        image_id = int(batch["image_id"][0])
+        for z in range(n_z):
+            predictions.append({
+                "image_id": image_id,
+                "caption": detokenize(captions_tok[z], vocabulary,
+                                      model_cfg.boundary_index),
+            })
+        if (idx + 1) % 50 == 0:
+            print(f"{idx + 1}/{n_images} images decoded")
+
+    os.makedirs(os.path.dirname(os.path.abspath(_A.output_path)), exist_ok=True)
+    with open(_A.output_path, "w") as f:
+        json.dump(predictions, f)
+    print(f"wrote {len(predictions)} predictions to {_A.output_path}")
+
+
+if __name__ == "__main__":
+    main()

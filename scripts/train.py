@@ -1,0 +1,157 @@
+#!/usr/bin/env python
+"""Train the Style-SeqCVAE captioner — CLI mirror of
+var_updown/scripts/train.py:76-188.
+
+Loop semantics preserved: infinite shuffled batches, loss = mean(reconstr) +
+mean(kld)/KLD_WEIGHT, SGD(momentum, wd) with LambdaLR linear decay +
+global-norm clip, the decoder-freeze schedule, per-step scalars, periodic
+checkpoints. TPU-native: one jitted train step over a (data, model) mesh;
+the freeze schedule lives inside the optimizer transformation; checkpoints
+are Orbax with step-accurate resume.
+"""
+
+import argparse
+import os
+import random
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+parser = argparse.ArgumentParser(description=__doc__)
+parser.add_argument("--config", required=True)
+parser.add_argument("--config-override", nargs="*", default=[])
+parser.add_argument("--serialization-dir", default="checkpoints/experiment")
+parser.add_argument("--checkpoint-every", type=int, default=10000)
+parser.add_argument("--start-from-checkpoint", default="")
+parser.add_argument("--in-memory", action="store_true")
+parser.add_argument("--num-data", type=int, default=-1,
+                    help="data-parallel mesh size (-1 = all devices)")
+parser.add_argument("--num-model", type=int, default=1)
+parser.add_argument("--cpu", action="store_true", help="force CPU backend")
+parser.add_argument("--max-iterations", type=int, default=0,
+                    help="override OPTIM.NUM_ITERATIONS for smoke runs")
+
+
+def main():
+    _A = parser.parse_args()
+    import jax
+
+    if _A.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from style_seqcvae_tpu.config import Config
+    from style_seqcvae_tpu.data.datasets import TrainingDataset
+    from style_seqcvae_tpu.data.latents import LatentDictionary
+    from style_seqcvae_tpu.data.vocabulary import (
+        Vocabulary, add_constraint_words_to_vocabulary)
+    from style_seqcvae_tpu.models.captioner import (
+        CaptionerConfig, hashed_random_embeddings, init_captioner,
+        load_glove_embeddings)
+    from style_seqcvae_tpu.parallel.mesh import make_mesh, shard_batch, shard_params
+    from style_seqcvae_tpu.training.checkpointing import CheckpointManager
+    from style_seqcvae_tpu.training.trainer import create_train_state, make_train_step
+    from style_seqcvae_tpu.utils.logging import MetricsWriter, StepTimer, device_sync
+    import jax.numpy as jnp
+
+    _C = Config(_A.config, _A.config_override)
+    print(_C)
+    os.makedirs(_A.serialization_dir, exist_ok=True)
+    _C.dump(os.path.join(_A.serialization_dir, "config.yml"))
+
+    random.seed(_C.RANDOM_SEED)
+    np.random.seed(_C.RANDOM_SEED)
+    root_key = jax.random.PRNGKey(_C.RANDOM_SEED)
+
+    vocabulary = Vocabulary.from_files(_C.DATA.VOCABULARY)
+    if _C.DATA.CBS.WORDFORMS:
+        add_constraint_words_to_vocabulary(vocabulary, _C.DATA.CBS.WORDFORMS)
+    if _C.DATA.CBS.WORDFORMS_ATTRIBS:
+        add_constraint_words_to_vocabulary(vocabulary, _C.DATA.CBS.WORDFORMS_ATTRIBS)
+
+    dataset = TrainingDataset.from_config(_C, vocabulary=vocabulary,
+                                          in_memory=_A.in_memory)
+    print("final dataset length:", len(dataset))
+
+    model_cfg = CaptionerConfig.from_config(_C, vocabulary)
+
+    # frozen embedding table: GloVe if cached, else deterministic hashed
+    embedding_table = None
+    if model_cfg.tie_embeddings:
+        if _C.DATA.GLOVE_CACHE:
+            paths = [(os.path.join(_C.DATA.GLOVE_CACHE, "glove.42B.300d.txt"), 300)]
+            if model_cfg.embedding_size == 600:
+                paths.append((os.path.join(_C.DATA.GLOVE_CACHE, "deps.words"), 300))
+            embedding_table = load_glove_embeddings(
+                vocabulary, model_cfg.embedding_size, paths, model_cfg.pad_index)
+        else:
+            tokens = [vocabulary.get_token_from_index(i)
+                      for i in range(vocabulary.get_vocab_size())]
+            embedding_table = hashed_random_embeddings(
+                tokens, model_cfg.embedding_size, model_cfg.pad_index)
+
+    latent_dict = None
+    if model_cfg.sentiment_vae == 2:
+        if model_cfg.latent_embedding == "glove" and _C.DATA.SENTIGLOVE:
+            latent_dict = LatentDictionary.from_sentiglove(
+                _C.DATA.SENTIGLOVE, model_cfg.z_space, model_cfg.latent_embedding_multip)
+        elif model_cfg.latent_embedding == "senti_word_net" and _C.DATA.SWN_SCORES:
+            latent_dict = LatentDictionary.from_swn_scores(
+                _C.DATA.SWN_SCORES, model_cfg.z_space, model_cfg.latent_embedding_multip)
+
+    params = init_captioner(root_key, model_cfg, embedding_table)
+
+    mesh = make_mesh(_A.num_data, _A.num_model)
+    params = shard_params(mesh, params)
+    state, tx = create_train_state(params, _C, model_cfg, jax.random.PRNGKey(
+        _C.RANDOM_SEED + 1))
+    train_step = make_train_step(tx, model_cfg, _C.MODEL.KLD_WEIGHT)
+
+    ckpt = CheckpointManager(_A.serialization_dir, mode="max")
+    start_iteration = 1
+    if _A.start_from_checkpoint:
+        state = ckpt.restore(_A.start_from_checkpoint, state)
+        start_iteration = int(state.opt_state.step) + 1
+        print(f"resumed from step {start_iteration - 1}")
+
+    writer = MetricsWriter(_A.serialization_dir)
+    timer = StepTimer()
+    num_iterations = _A.max_iterations or _C.OPTIM.NUM_ITERATIONS
+    batches = dataset.batches(_C.OPTIM.BATCH_SIZE,
+                              rng=random.Random(_C.RANDOM_SEED))
+
+    with jax.sharding.set_mesh(mesh):
+        for iteration in range(start_iteration, num_iterations + 1):
+            with timer.phase("data"):
+                batch = next(batches)
+                model_batch = {
+                    "image_features": batch["image_features"],
+                    "caption_tokens": batch["caption_tokens"],
+                    "sentiment": batch["sentiment"],
+                }
+                if latent_dict is not None and batch["obj_atts"] is not None:
+                    model_batch["obj_att_embeds"] = latent_dict.translate_obj_atts(
+                        batch["obj_atts"], _C.DATA.MAX_BOXES)
+                model_batch = shard_batch(mesh, model_batch)
+            with timer.phase("step"):
+                state, metrics = train_step(state, model_batch)
+            if iteration % _C.PRINT_EVERY_N_BATCHES == 0:
+                loss = device_sync(metrics["loss"])
+                writer.scalars(iteration, {
+                    "reconstr_loss": device_sync(metrics["reconstr_loss"]),
+                    "kld_loss": device_sync(metrics["kld_loss"]),
+                    "loss": loss,
+                    **timer.summary()})
+            if iteration % 2000 == 0:
+                print(f"{iteration}: loss={device_sync(metrics['loss']):.6f}")
+            if iteration % _A.checkpoint_every == 0:
+                ckpt.step(state, metric=0.0, iteration=iteration)
+
+    ckpt.save(state, f"checkpoint_{num_iterations}")
+    print("done.")
+
+
+if __name__ == "__main__":
+    main()

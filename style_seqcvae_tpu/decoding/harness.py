@@ -1,0 +1,151 @@
+"""Diverse-decoding harness: N z-samples × (CBS | beam search) as ONE
+compiled program.
+
+The reference decodes each z-sample in a Python loop at batch size 1
+(var_updown/scripts/inference.py:138-170); here the z-axis is ``vmap``-ed on
+device and the per-image FSMs ride along as stacked exception tables. jit
+caching is managed by padding FSM state/exception counts to a small set of
+bucket sizes so repeated images reuse the compiled program.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from style_seqcvae_tpu.decoding.beam_search import beam_search
+from style_seqcvae_tpu.decoding.cbs_fast import (
+    FSMTables,
+    constrained_beam_search_fast,
+    stack_fsm_tables,
+)
+from style_seqcvae_tpu.decoding.select import select_best_beam_simple_jax
+from style_seqcvae_tpu.models.captioner import (
+    CaptionerConfig,
+    make_decode_context,
+    make_step_fn,
+)
+from style_seqcvae_tpu.models.updown_cell import init_cell_state
+
+
+def _bucket(n: int, buckets=(8, 12, 16, 24, 32)) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return n
+
+
+def pad_tables(tables: List[FSMTables], n_z: int) -> FSMTables:
+    """Stack per-z FSMTables, padding S and E to bucket sizes, replicating
+    the last table if fewer than n_z were built (shared-FSM mode)."""
+    while len(tables) < n_z:
+        tables.append(tables[-1])
+    S = _bucket(max(t.default_dest.shape[0] for t in tables))
+    E = _bucket(max(t.exc_token.shape[-1] for t in tables))
+
+    def pad(t: FSMTables) -> FSMTables:
+        s, e = t.default_dest.shape[0], t.exc_token.shape[-1]
+        dd = np.concatenate([np.asarray(t.default_dest),
+                             np.arange(s, S, dtype=np.int32)])
+        pw = [(0, S - s), (0, E - e)]
+        return FSMTables(dd,
+                         np.pad(np.asarray(t.exc_token), pw),
+                         np.pad(np.asarray(t.exc_dest), pw),
+                         np.pad(np.asarray(t.exc_valid), pw))
+
+    stacked = [pad(t) for t in tables]
+    return FSMTables(*[jnp.asarray(np.stack([np.asarray(getattr(t, f))[None]
+                                             for t in stacked]))
+                       for f in FSMTables._fields])  # (Z, 1, S[, E])
+
+
+class DecodeHarness:
+    def __init__(self, params, cfg: CaptionerConfig):
+        self.params = params
+        self.cfg = cfg
+        self._jit_cbs = jax.jit(self._decode_cbs_impl,
+                                static_argnames=("n_z", "return_all"))
+        self._jit_beam = jax.jit(self._decode_beam_impl, static_argnames=("n_z",))
+
+    # ---------------- CBS path ----------------
+    def _decode_cbs_impl(self, params, feats, sentiment, obj_att_embeds,
+                         tables: FSMTables, num_constraints, key, *,
+                         n_z: int, return_all: bool):
+        cfg = self.cfg
+        ctx = make_decode_context(params, cfg, feats, sentiment=sentiment,
+                                  obj_att_embeds=obj_att_embeds)
+        step = make_step_fn(params, cfg, ctx)
+        init_state = init_cell_state((feats.shape[0],), cfg.hidden_size, feats.dtype)
+        start = jnp.full((feats.shape[0],), cfg.boundary_index)
+
+        def one_z(z_key, fsm_z):
+            seqs, lp = constrained_beam_search_fast(
+                step, start, init_state, fsm_z, z_key,
+                max_steps=cfg.max_caption_length, beam_size=cfg.beam_size,
+                per_node_beam_size=cfg.beam_size // 2,
+                end_index=cfg.boundary_index)
+            if return_all:
+                return seqs, lp
+            best, best_lp = select_best_beam_simple_jax(
+                seqs, lp, num_constraints, cfg.min_constraints_to_satisfy)
+            return best, best_lp
+
+        keys = jax.random.split(key, n_z)
+        return jax.vmap(one_z)(keys, tables)
+
+    def decode_cbs(self, feats: np.ndarray, sentiment, obj_att_embeds,
+                   tables: List[FSMTables], num_constraints, key, n_z: int,
+                   return_all: bool = False):
+        """feats (1, N, F); per-z FSM tables; returns (n_z, T) token ids (or
+        all beams when ``return_all`` for grounded selection)."""
+        stacked = pad_tables(list(tables), n_z)
+        nc = jnp.asarray(np.broadcast_to(np.asarray(num_constraints).reshape(-1)[:1],
+                                         (1,)))
+        oae = obj_att_embeds if obj_att_embeds is not None else None
+        out = self._jit_cbs(self.params, jnp.asarray(feats),
+                            jnp.asarray(sentiment) if sentiment is not None else None,
+                            oae, stacked, nc, key, n_z=n_z, return_all=return_all)
+        return jax.tree_util.tree_map(np.asarray, out)
+
+    # ---------------- plain beam path ----------------
+    def _decode_beam_impl(self, params, feats, sentiment, obj_att_embeds, key,
+                          *, n_z: int):
+        cfg = self.cfg
+        ctx = make_decode_context(params, cfg, feats, sentiment=sentiment,
+                                  obj_att_embeds=obj_att_embeds)
+        step = make_step_fn(params, cfg, ctx)
+        init_state = init_cell_state((feats.shape[0],), cfg.hidden_size, feats.dtype)
+        start = jnp.full((feats.shape[0],), cfg.boundary_index)
+
+        def one_z(z_key):
+            seqs, lp = beam_search(
+                step, start, init_state, z_key,
+                max_steps=cfg.max_caption_length,
+                beam_size=cfg.beam_size,
+                per_node_beam_size=cfg.beam_size // 2,
+                end_index=cfg.boundary_index)
+            return seqs[:, 0, :], lp[:, 0]
+
+        keys = jax.random.split(key, n_z)
+        return jax.vmap(one_z)(keys)
+
+    def decode_beam(self, feats, sentiment, obj_att_embeds, key, n_z: int):
+        out = self._jit_beam(self.params, jnp.asarray(feats),
+                             jnp.asarray(sentiment) if sentiment is not None else None,
+                             obj_att_embeds, key, n_z=n_z)
+        return jax.tree_util.tree_map(np.asarray, out)
+
+
+def detokenize(token_ids, vocabulary, boundary_index: int) -> str:
+    """Token ids → caption string, truncated at @@BOUNDARY@@
+    (inference.py:180-182)."""
+    words = []
+    for t in np.asarray(token_ids).tolist():
+        if t == boundary_index:
+            break
+        words.append(vocabulary.get_token_from_index(int(t)))
+    return " ".join(words)

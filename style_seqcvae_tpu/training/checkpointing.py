@@ -50,6 +50,9 @@ class CheckpointManager:
     def save(self, state, name: str) -> None:
         path = self._path(name)
         self._ckpt.save(path, _to_saveable(state), force=True)
+        # StandardCheckpointer commits asynchronously; wait so saves never
+        # race interpreter shutdown or an immediate restore.
+        self._ckpt.wait_until_finished()
 
     def restore(self, name: str, target_state):
         return _from_saveable(
