@@ -134,10 +134,12 @@ class FeaturesReader:
             feats = np.asarray(self._h5["features"][idx])
         obj_atts = None
         try:
+            from style_seqcvae_tpu import native
+
             if self.use_obj_att_preds:
-                obj_atts = unpack_obj_atts_det(self._h5["obj_atts_det"][idx])
+                obj_atts = native.unpack_obj_atts_det(self._h5["obj_atts_det"][idx])
             elif "obj_atts" in self._h5:
-                obj_atts = unpack_obj_atts(self._h5["obj_atts"][idx])
+                obj_atts = native.unpack_obj_atts(self._h5["obj_atts"][idx])
             if obj_atts is not None and len(obj_atts) != num_boxes:
                 obj_atts = [[0, []]] * num_boxes  # readers.py:131-134
         except Exception:
