@@ -1,0 +1,139 @@
+#!/usr/bin/env python
+"""Bottom-up feature + attribute extraction — CLI mirror of
+frcnn/test_net.py --feat_extract (:311-542): per-image detector forward,
+bbox decode, per-class NMS, global cap, packed attribute streams,
+features.h5 output with the reference schema."""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+parser = argparse.ArgumentParser(description=__doc__)
+parser.add_argument("--instances-json", required=True)
+parser.add_argument("--image-root", default="")
+parser.add_argument("--attribs-dir", default="")
+parser.add_argument("--senticap-json", default="")
+parser.add_argument("--checkpoint-path", default="")
+parser.add_argument("--checkpoint-name", default="")
+parser.add_argument("--output", default="features.h5")
+parser.add_argument("--canvas", type=int, nargs=2, default=[640, 1024])
+parser.add_argument("--max-images", type=int, default=0)
+parser.add_argument("--thresh", type=float, default=0.5)
+parser.add_argument("--cpu", action="store_true")
+parser.add_argument("--config-override", nargs="*", default=[])
+
+
+def main():
+    _A = parser.parse_args()
+    import jax
+
+    if _A.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from style_seqcvae_tpu.config import Config
+    from style_seqcvae_tpu.data.detection import (
+        CocoDetectionDataset, load_image_bgr, make_batch, prepare_image_np)
+    from style_seqcvae_tpu.models.detector.extract import (
+        decode_boxes, extraction_row, select_detections)
+    from style_seqcvae_tpu.models.detector.faster_rcnn import (
+        DetectorConfig, detector_forward_test, init_detector)
+    from style_seqcvae_tpu.models.detector.rpn import RPNConfig
+    from style_seqcvae_tpu.ops.boxes import bbox_overlaps
+    from style_seqcvae_tpu.training.checkpointing import CheckpointManager
+    from style_seqcvae_tpu.utils.features_io import FeaturesWriter
+
+    _C = Config(config_override=_A.config_override)
+    D = _C.DET
+
+    dataset = CocoDetectionDataset(
+        _A.instances_json, _A.image_root, _A.senticap_json, _A.attribs_dir,
+        exclude_senticap_test=False)
+    det_cfg = DetectorConfig(
+        num_classes=dataset.num_classes, num_att_classes=dataset.n_attribs,
+        pooling_mode=D.POOLING_MODE, anchor_scales=tuple(D.ANCHOR_SCALES),
+        anchor_ratios=tuple(D.ANCHOR_RATIOS),
+        rpn=RPNConfig(anchor_scales=tuple(D.ANCHOR_SCALES)))
+
+    params = init_detector(jax.random.PRNGKey(0), det_cfg)
+    if _A.checkpoint_path:
+        from style_seqcvae_tpu.training.detector_optimizer import make_detector_optimizer
+
+        ckpt = CheckpointManager(_A.checkpoint_path)
+        # restore target must match the saved structure exactly
+        tx = make_detector_optimizer(params, lr=0.0)
+        restored = ckpt.restore(_A.checkpoint_name,
+                                {"params": params, "opt_state": tx.init(params)})
+        params = restored["params"]
+
+    n_images = len(dataset) if not _A.max_images else min(_A.max_images, len(dataset))
+    writer = FeaturesWriter(_A.output, n_images)
+
+    fwd = jax.jit(lambda p, im, info: detector_forward_test(
+        p, det_cfg, im, info, post_nms_top_n=D.TEST.RPN_POST_NMS_TOP_N,
+        pre_nms_top_n=D.TEST.RPN_PRE_NMS_TOP_N,
+        nms_thresh=D.TEST.RPN_NMS_THRESH))
+
+    skipped = 0
+    for i in range(n_images):
+        rec = dataset.record(i)
+        try:
+            img = load_image_bgr(rec["file_name"])
+        except Exception as e:  # reference skips failed items (test_net.py:313-318)
+            print(f"skip {rec['image_id']}: {e}")
+            skipped += 1
+            writer.write(i, rec["image_id"], np.zeros((1, 2048), np.float32),
+                         np.zeros((0,), np.uint8), np.zeros((0,), np.float32))
+            continue
+        img, scale = prepare_image_np(img, D.TEST.SCALES[0], D.TEST.MAX_SIZE)
+        batch = make_batch([rec], [img], [scale], tuple(_A.canvas),
+                           D.MAX_NUM_GT_BOXES, max(dataset.n_attribs, 1))
+        out = fwd(params, jnp.asarray(batch["images"]), jnp.asarray(batch["im_info"]))
+        rois = np.asarray(out["rois"])[0]
+        pred_boxes = decode_boxes(
+            rois[:, 1:5], np.asarray(out["bbox_pred"])[0], batch["im_info"][0],
+            D.TRAIN.BBOX_NORMALIZE_STDS, D.TRAIN.BBOX_NORMALIZE_MEANS,
+            scale, dataset.num_classes)
+
+        # GT label/attribute assignment for the packed GT stream: nearest GT
+        # by IoU >= 0.5 (the reference gets these from the proposal-target
+        # resampling in feat_extract mode; same information, no resampling)
+        gt = batch["gt_boxes"][0]
+        n_gt = int(batch["num_gt"][0])
+        rois_label = None
+        gt_att_rows = None
+        if n_gt:
+            import jax.numpy as jnp2
+            ious = np.asarray(bbox_overlaps(jnp2.asarray(rois[:, 1:5]),
+                                            jnp2.asarray(gt[:n_gt, :4])))
+            best = ious.argmax(axis=1)
+            best_iou = ious.max(axis=1)
+            rois_label = np.where(best_iou >= 0.5, gt[best, 4], 0).astype(np.int64)
+            gt_att_rows = np.where(best_iou[:, None] >= 0.5,
+                                   batch["gt_atts"][0][best], 0.0)
+
+        scores_atts = (np.asarray(out["cls_prob_atts"])[0]
+                       if "cls_prob_atts" in out else None)
+        selected = select_detections(
+            np.asarray(out["cls_prob"])[0], pred_boxes,
+            np.asarray(out["pooled_feat"])[0],
+            scores_atts=scores_atts,
+            rois_label=rois_label, gt_atts=gt_att_rows,
+            thresh=_A.thresh, nms_thresh=D.TEST.NMS,
+            max_per_image=D.TEST.MAX_PER_IMAGE)
+        feats, oa, oad = extraction_row(selected, _C.DATA.ATT_PRED_THRESH)
+        if feats.size == 0:
+            feats = np.zeros((1, 2048), np.float32)
+        writer.write(i, rec["image_id"], feats, oa, oad)
+        if (i + 1) % 20 == 0:
+            print(f"{i + 1}/{n_images} images")
+    writer.close()
+    print(f"wrote {n_images} rows ({skipped} skipped) to {_A.output}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,141 @@
+#!/usr/bin/env python
+"""Train the Faster R-CNN detector with the attribute head — CLI mirror of
+frcnn/trainval_net.py (loss = rpn_cls + rpn_box + rcnn_cls +
+0.5·rcnn_cls_atts + rcnn_box, :345-346; SGD with per-param bias rules,
+epoch-stepped lr decay, per-epoch checkpoints)."""
+
+import argparse
+import os
+import random
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+parser = argparse.ArgumentParser(description=__doc__)
+parser.add_argument("--instances-json", required=True)
+parser.add_argument("--image-root", default="")
+parser.add_argument("--senticap-json", default="",
+                    help="senticap json; its TEST images are excluded from training")
+parser.add_argument("--attribs-dir", default="", help="COCO-Attributes pickles dir")
+parser.add_argument("--config-override", nargs="*", default=[])
+parser.add_argument("--serialization-dir", default="checkpoints/detector")
+parser.add_argument("--epochs", type=int, default=10)
+parser.add_argument("--steps-per-epoch", type=int, default=0,
+                    help="0 = dataset length")
+parser.add_argument("--canvas", type=int, nargs=2, default=[640, 1024])
+parser.add_argument("--cpu", action="store_true")
+parser.add_argument("--seed", type=int, default=3)
+
+
+def main():
+    _A = parser.parse_args()
+    import jax
+
+    if _A.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from style_seqcvae_tpu.config import Config
+    from style_seqcvae_tpu.data.detection import (
+        CocoDetectionDataset, flip_record, load_image_bgr, make_batch,
+        prepare_image_np)
+    from style_seqcvae_tpu.models.detector.faster_rcnn import (
+        DetectorConfig, detector_forward_train, init_detector)
+    from style_seqcvae_tpu.models.detector.rpn import RPNConfig
+    from style_seqcvae_tpu.models.detector.targets import ProposalTargetConfig
+    from style_seqcvae_tpu.training.checkpointing import CheckpointManager
+    from style_seqcvae_tpu.training.detector_optimizer import make_detector_optimizer
+    from style_seqcvae_tpu.utils.logging import MetricsWriter, device_sync
+
+    _C = Config(config_override=_A.config_override)
+    D = _C.DET
+    random.seed(_A.seed)
+    np.random.seed(_A.seed)
+
+    dataset = CocoDetectionDataset(
+        _A.instances_json, _A.image_root, _A.senticap_json, _A.attribs_dir)
+    print(f"{len(dataset)} training images, {dataset.num_classes} classes, "
+          f"{dataset.n_attribs} attributes")
+
+    det_cfg = DetectorConfig(
+        num_classes=dataset.num_classes,
+        num_att_classes=dataset.n_attribs,
+        pooling_mode=D.POOLING_MODE,
+        anchor_scales=tuple(D.ANCHOR_SCALES),
+        anchor_ratios=tuple(D.ANCHOR_RATIOS),
+        rpn=RPNConfig(
+            anchor_scales=tuple(D.ANCHOR_SCALES),
+            pre_nms_top_n=D.TRAIN.RPN_PRE_NMS_TOP_N,
+            post_nms_top_n=D.TRAIN.RPN_POST_NMS_TOP_N,
+            nms_thresh=D.TRAIN.RPN_NMS_THRESH,
+            rpn_batch_size=D.TRAIN.RPN_BATCHSIZE,
+            fg_fraction=D.TRAIN.RPN_FG_FRACTION,
+            positive_overlap=D.TRAIN.RPN_POSITIVE_OVERLAP,
+            negative_overlap=D.TRAIN.RPN_NEGATIVE_OVERLAP),
+        pt=ProposalTargetConfig(
+            rois_per_image=D.TRAIN.BATCH_SIZE,
+            fg_fraction=D.TRAIN.FG_FRACTION,
+            fg_thresh=D.TRAIN.FG_THRESH,
+            bg_thresh_hi=D.TRAIN.BG_THRESH_HI,
+            bg_thresh_lo=D.TRAIN.BG_THRESH_LO,
+            bbox_normalize_means=tuple(D.TRAIN.BBOX_NORMALIZE_MEANS),
+            bbox_normalize_stds=tuple(D.TRAIN.BBOX_NORMALIZE_STDS),
+            num_classes=dataset.num_classes),
+        att_loss_weight=D.ATT_LOSS_WEIGHT)
+
+    params = init_detector(jax.random.PRNGKey(_A.seed), det_cfg)
+    steps_per_epoch = _A.steps_per_epoch or len(dataset)
+    tx = make_detector_optimizer(
+        params, lr=D.TRAIN.LEARNING_RATE, momentum=D.TRAIN.MOMENTUM,
+        weight_decay=D.TRAIN.WEIGHT_DECAY, double_bias=D.TRAIN.DOUBLE_BIAS,
+        bias_decay=D.TRAIN.BIAS_DECAY, steps_per_epoch=steps_per_epoch,
+        lr_decay_step_epochs=4, gamma=D.TRAIN.GAMMA,
+        clip_norm=D.TRAIN.CLIP_GRADIENTS)
+    opt_state = tx.init(params)
+
+    att_counts = (dataset.att_counts if dataset.att_counts is not None
+                  else np.ones((max(dataset.n_attribs, 1),), np.float32))
+
+    @jax.jit
+    def train_step(params, opt_state, batch, key):
+        def loss_fn(p):
+            losses = detector_forward_train(p, det_cfg, batch, key)
+            return losses["total"], losses
+
+        (_, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state2 = tx.update(grads, opt_state, params)
+        params2 = jax.tree_util.tree_map(lambda a, b: a + b, params, updates)
+        return params2, opt_state2, losses
+
+    ckpt = CheckpointManager(_A.serialization_dir)
+    writer = MetricsWriter(_A.serialization_dir)
+    key = jax.random.PRNGKey(_A.seed + 1)
+    order = list(range(len(dataset)))
+    step_count = 0
+    for epoch in range(1, _A.epochs + 1):
+        random.shuffle(order)
+        for idx in order[:steps_per_epoch]:
+            rec = dataset.record(idx)
+            img = load_image_bgr(rec["file_name"])
+            img, scale = prepare_image_np(img, D.TRAIN.SCALES[0], D.TRAIN.MAX_SIZE)
+            if D.TRAIN.USE_FLIPPED and random.random() < 0.5:
+                rec, img = flip_record(rec, img)
+            batch = make_batch([rec], [img], [scale], tuple(_A.canvas),
+                               D.MAX_NUM_GT_BOXES, max(dataset.n_attribs, 1))
+            batch["att_counts"] = att_counts
+            key, k = jax.random.split(key)
+            params, opt_state, losses = train_step(params, opt_state, batch, k)
+            step_count += 1
+            if step_count % D.TRAIN.DISPLAY == 0:
+                vals = {n: device_sync(v) for n, v in losses.items()}
+                writer.scalars(step_count, vals)
+                print(f"e{epoch} s{step_count}: " +
+                      " ".join(f"{n}={v:.4f}" for n, v in vals.items()))
+        ckpt.save({"params": params, "opt_state": opt_state}, f"detector_epoch_{epoch}")
+    print("done.")
+
+
+if __name__ == "__main__":
+    main()

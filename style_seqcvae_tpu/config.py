@@ -280,6 +280,7 @@ def detector_defaults() -> ConfigNode:
     D.TRAIN.BIAS_DECAY = False
     D.TRAIN.USE_GT = False
     D.TRAIN.DISPLAY = 20
+    D.TRAIN.CLIP_GRADIENTS = 0.0   # 0 = off (reference clips only VGG)
 
     D.TEST = ConfigNode()
     D.TEST.SCALES = [600]

@@ -34,10 +34,14 @@ def _bn_init(ch, dtype=jnp.float32):
 
 def init_bottleneck(key, in_ch, planes, stride, dtype=jnp.float32) -> Dict[str, Any]:
     k = jax.random.split(key, 4)
+    # conv3 zero-init: each residual branch starts as identity so from-
+    # scratch activations stay bounded through 50/101 layers (torchvision
+    # zero_init_residual, applied to the conv because BN is frozen here).
+    # Irrelevant when importing pretrained torch weights.
     p = {
         "conv1": _conv_init(k[0], (1, 1, in_ch, planes), dtype), "bn1": _bn_init(planes, dtype),
         "conv2": _conv_init(k[1], (3, 3, planes, planes), dtype), "bn2": _bn_init(planes, dtype),
-        "conv3": _conv_init(k[2], (1, 1, planes, planes * 4), dtype), "bn3": _bn_init(planes * 4, dtype),
+        "conv3": jnp.zeros((1, 1, planes, planes * 4), dtype), "bn3": _bn_init(planes * 4, dtype),
     }
     if stride != 1 or in_ch != planes * 4:
         p["downsample"] = {"conv": _conv_init(k[3], (1, 1, in_ch, planes * 4), dtype),

@@ -42,8 +42,11 @@ def bbox_transform_inv(boxes: jnp.ndarray, deltas: jnp.ndarray) -> jnp.ndarray:
 
     dx = deltas[..., 0::4]
     dy = deltas[..., 1::4]
-    dw = deltas[..., 2::4]
-    dh = deltas[..., 3::4]
+    # Clamp log-space sizes so exp never overflows to inf (a divergence
+    # safeguard the reference lacks; 10 ≈ e^10 ≈ 22k× never binds in
+    # sane training).
+    dw = jnp.clip(deltas[..., 2::4], -10.0, 10.0)
+    dh = jnp.clip(deltas[..., 3::4], -10.0, 10.0)
 
     pred_cx = dx * widths[..., None] + ctr_x[..., None]
     pred_cy = dy * heights[..., None] + ctr_y[..., None]
