@@ -72,7 +72,8 @@ def rpn_heads(params, base_feat: jnp.ndarray):
 
 
 def proposal_layer(cls_logits, bbox_deltas, all_anchors, im_info, *,
-                   pre_nms_top_n: int, post_nms_top_n: int, nms_thresh: float):
+                   pre_nms_top_n: int, post_nms_top_n: int, nms_thresh: float,
+                   use_pallas_nms: Optional[bool] = None):
     """Decode + clip + top-k + NMS → (B, post_nms_top_n, 5) rois
     [batch_idx, x1, y1, x2, y2] (proposal_layer.py:49-160). Padding rois are
     all-zero."""
@@ -88,8 +89,17 @@ def proposal_layer(cls_logits, bbox_deltas, all_anchors, im_info, *,
     top_scores, top_idx = jax.lax.top_k(scores, k)
     top_props = jnp.take_along_axis(proposals, top_idx[..., None], axis=1)
 
+    if use_pallas_nms is None:
+        # the Pallas bitmask kernel wins for large candidate sets on TPU
+        use_pallas_nms = (jax.default_backend() == "tpu" and k >= 1024)
+
     def per_image(props, scs):
-        keep_idx, _ = nms(props, scs, nms_thresh, max_out=post_nms_top_n)
+        if use_pallas_nms:
+            from style_seqcvae_tpu.ops.pallas.nms import nms_pallas
+
+            keep_idx, _ = nms_pallas(props, scs, nms_thresh, max_out=post_nms_top_n)
+        else:
+            keep_idx, _ = nms(props, scs, nms_thresh, max_out=post_nms_top_n)
         valid = keep_idx >= 0
         safe = jnp.clip(keep_idx, 0, k - 1)
         out_boxes = jnp.where(valid[:, None], props[safe], 0.0)
