@@ -81,6 +81,7 @@ def beam_search(
     start_lp = start_lp[:, 0, :]                       # (B, V)
     vocab = start_lp.shape[-1]
     last_lp, start_preds = jax.lax.top_k(start_lp, K)  # (B, K)
+    last_lp = last_lp.astype(jnp.float32)  # accumulate scores in f32
     state = _tile_beam(state, K)
     last_preds = start_preds
 
@@ -91,7 +92,7 @@ def beam_search(
         log_probs, new_state = step_fn(last_preds, state, key)   # (B, K, V)
         cleaned = _cleaned_log_probs(log_probs, last_preds, end_index)
         top_lp, top_classes = jax.lax.top_k(cleaned, pnbs)       # (B, K, pnbs)
-        summed = top_lp + last_lp[..., None]
+        summed = top_lp.astype(jnp.float32) + last_lp[..., None]
         flat_lp = summed.reshape(B, K * pnbs)
         flat_classes = top_classes.reshape(B, K * pnbs)
         new_lp, flat_idx = jax.lax.top_k(flat_lp, K)             # (B, K)

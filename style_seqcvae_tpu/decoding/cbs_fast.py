@@ -147,6 +147,7 @@ def constrained_beam_search_fast(
         jnp.broadcast_to(def0_cls[:, None, :], (B, S, K)),
         jnp.broadcast_to(fsm.exc_token[:, 0, None, :], (B, S, E))], axis=-1)
     last_lp, idx0 = small_top_k(cand0, K)                     # (B, S, K)
+    last_lp = last_lp.astype(jnp.float32)  # accumulate scores in f32
     last_preds = jnp.take_along_axis(cand0_cls, idx0, axis=-1)
     start_preds_flat = last_preds.reshape(B, S * K)
 
@@ -186,7 +187,7 @@ def constrained_beam_search_fast(
                 def_cls, jnp.broadcast_to(fsm.exc_token[:, :, None, :], (B, S, K, E))],
                 axis=-1)
             top_cls = jnp.take_along_axis(cand_cls, top_idx, axis=-1)
-            summed = top_lp + last_lp[..., None]
+            summed = top_lp.astype(jnp.float32) + last_lp[..., None]
             flat_lp = summed.reshape(B, S * K * pnbs)
             flat_cls = top_cls.reshape(B, S * K * pnbs)
             new_lp, idx = jax.lax.top_k(flat_lp, K)

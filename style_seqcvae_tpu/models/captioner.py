@@ -175,10 +175,13 @@ def output_logits(params: Dict[str, Any], cfg: CaptionerConfig, h_dec: jnp.ndarr
     if cfg.tie_embeddings:
         proj = jnp.tanh(
             jnp.dot(h_dec, params["output_projection"]["w"],
-                    preferred_element_type=jnp.float32) + params["output_projection"]["b"])
-        return jnp.dot(proj, params["embedding"].T, preferred_element_type=jnp.float32)
-    return jnp.dot(h_dec, params["output_layer"]["w"],
-                   preferred_element_type=jnp.float32) + params["output_layer"]["b"]
+                    preferred_element_type=jnp.float32).astype(h_dec.dtype)
+            + params["output_projection"]["b"])
+        return jnp.dot(proj, params["embedding"].T,
+                       preferred_element_type=jnp.float32).astype(h_dec.dtype)
+    return (jnp.dot(h_dec, params["output_layer"]["w"],
+                    preferred_element_type=jnp.float32).astype(h_dec.dtype)
+            + params["output_layer"]["b"])
 
 
 def base_prior(cfg: CaptionerConfig, batch_size: int,
