@@ -40,6 +40,7 @@ from style_seqcvae_tpu.ops.roi_align import roi_align, roi_pool
 class DetectorConfig(NamedTuple):
     num_classes: int = 81
     num_att_classes: int = 196
+    backbone: str = "resnet"            # "resnet" | "vgg16" (no att head on vgg in the reference)
     depth: int = 101
     pooling_mode: str = "align"          # cfgs/res101.yml:17
     pooling_size: int = 7
@@ -60,8 +61,14 @@ class DetectorConfig(NamedTuple):
 
 def init_detector(key, cfg: DetectorConfig, dtype=jnp.float32) -> Dict[str, Any]:
     k = jax.random.split(key, 5)
-    params: Dict[str, Any] = {"resnet": resnet.init_resnet(k[0], cfg.depth, dtype)}
-    params["rpn"] = init_rpn(k[1], 1024, cfg.num_anchors, dtype)
+    if cfg.backbone == "vgg16":
+        from style_seqcvae_tpu.models.detector import vgg
+
+        params: Dict[str, Any] = {"vgg": vgg.init_vgg16(k[0], dtype)}
+        params["rpn"] = init_rpn(k[1], 512, cfg.num_anchors, dtype)
+    else:
+        params = {"resnet": resnet.init_resnet(k[0], cfg.depth, dtype)}
+        params["rpn"] = init_rpn(k[1], 1024, cfg.num_anchors, dtype)
 
     def linear(kk, fan_in, out, std):
         return {"w": jax.random.normal(kk, (fan_in, out), dtype) * std,
@@ -70,16 +77,26 @@ def init_detector(key, cfg: DetectorConfig, dtype=jnp.float32) -> Dict[str, Any]
     # reference init: cls 0.01, bbox 0.001 (faster_rcnn.py:221-244);
     # attribute head: normal 0.01 with bias init (resnet.py:245-248 /
     # faster_rcnn.py:238).
-    params["cls_score"] = linear(k[2], 2048, cfg.num_classes, 0.01)
+    feat_dim = 4096 if cfg.backbone == "vgg16" else 2048
+    params["cls_score"] = linear(k[2], feat_dim, cfg.num_classes, 0.01)
     bbox_out = 4 if cfg.class_agnostic else 4 * cfg.num_classes
-    params["bbox_pred"] = linear(k[3], 2048, bbox_out, 0.001)
-    if cfg.num_att_classes:
-        params["cls_score_atts"] = linear(k[4], 2048, cfg.num_att_classes, 0.01)
+    params["bbox_pred"] = linear(k[3], feat_dim, bbox_out, 0.001)
+    if cfg.num_att_classes and cfg.backbone != "vgg16":
+        # the reference VGG variant has no attribute head (vgg16.py)
+        params["cls_score_atts"] = linear(k[4], feat_dim, cfg.num_att_classes, 0.01)
     return params
 
 
 def _linear(p, x):
     return jnp.dot(x, p["w"], preferred_element_type=jnp.float32) + p["b"]
+
+
+def _backbone(params, cfg: DetectorConfig, images):
+    if cfg.backbone == "vgg16":
+        from style_seqcvae_tpu.models.detector import vgg
+
+        return vgg.backbone(params["vgg"], images)
+    return resnet.backbone(params["resnet"], images)
 
 
 def _pool_rois(params, cfg: DetectorConfig, base_feat, rois_flat):
@@ -90,6 +107,10 @@ def _pool_rois(params, cfg: DetectorConfig, base_feat, rois_flat):
     else:
         pooled = roi_pool(base_feat, rois_flat, spatial_scale=1.0 / cfg.feat_stride,
                           pooled_height=cfg.pooling_size, pooled_width=cfg.pooling_size)
+    if cfg.backbone == "vgg16":
+        from style_seqcvae_tpu.models.detector import vgg
+
+        return vgg.head_to_tail(params["vgg"], pooled)       # (R, 4096)
     return resnet.head_to_tail(params["resnet"], pooled)     # (R, 2048)
 
 
@@ -114,7 +135,7 @@ def detector_forward_train(params, cfg: DetectorConfig, batch, key):
     gt_boxes, num_gt, gt_atts = batch["gt_boxes"], batch["num_gt"], batch["gt_atts"]
     B, H, W, _ = images.shape
 
-    base_feat = resnet.backbone(params["resnet"], images)
+    base_feat = _backbone(params, cfg, images)
     fh, fw = base_feat.shape[1], base_feat.shape[2]
     anchors = jnp.asarray(shifted_anchors(
         fh, fw, cfg.feat_stride,
@@ -186,7 +207,7 @@ def detector_forward_test(params, cfg: DetectorConfig, images, im_info,
     cls_prob_atts (B, P, A), bbox_pred (B, P, 4C), pooled_feat (B, P, 2048)
     — the per-RoI outputs the feature extractor consumes."""
     B = images.shape[0]
-    base_feat = resnet.backbone(params["resnet"], images)
+    base_feat = _backbone(params, cfg, images)
     fh, fw = base_feat.shape[1], base_feat.shape[2]
     anchors = jnp.asarray(shifted_anchors(
         fh, fw, cfg.feat_stride,
@@ -221,6 +242,10 @@ def detector_trainable_labels(params) -> Any:
         keys = [getattr(p, "key", getattr(p, "name", str(p))) for p in path]
         if "resnet" in keys:
             return resnet.trainable_label([k for k in keys if k != "resnet"])
+        if "vgg" in keys:
+            from style_seqcvae_tpu.models.detector import vgg
+
+            return vgg.trainable_label([k for k in keys if k != "vgg"])
         return "always"
 
     return jax.tree_util.tree_map_with_path(label, params)
