@@ -106,6 +106,13 @@ def bench_tpu_cbs(batch=8, n_z=20, n_states=8, beam=5, vocab=10500, boxes=100,
 
 
 def main():
+    import jax
+
+    # Persistent compile cache: the full decode program can take minutes to
+    # compile cold; cache makes driver re-runs cheap.
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
     caps_per_sec, compile_time, step_time = bench_tpu_cbs()
 
     # Baseline anchor measured once on this host (see BASELINE.md); the
