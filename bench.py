@@ -69,7 +69,7 @@ def bench_tpu_cbs(batch=8, n_z=20, n_states=8, beam=5, vocab=10500, boxes=100,
     @jax.jit
     def decode_all(params, feats, sentiment, tables, key):
         ctx = make_decode_context(params, cfg, feats, sentiment=sentiment)
-        step = make_step_fn(params, cfg, ctx)
+        step = make_step_fn(params, cfg, ctx, return_raw=True)
         init_state = init_cell_state((batch,), cfg.hidden_size, jdtype)
         start = jnp.full((batch,), cfg.boundary_index)
 
@@ -77,7 +77,7 @@ def bench_tpu_cbs(batch=8, n_z=20, n_states=8, beam=5, vocab=10500, boxes=100,
             seqs, lp = constrained_beam_search_fast(
                 step, start, init_state, fsm_z, z_key,
                 max_steps=seq, beam_size=beam, per_node_beam_size=beam // 2,
-                end_index=cfg.boundary_index)
+                end_index=cfg.boundary_index, raw_step=True)
             best, best_lp = select_best_beam_simple_jax(
                 seqs, lp, jnp.full((batch,), 3), cfg.min_constraints_to_satisfy)
             return best, best_lp

@@ -111,9 +111,17 @@ def constrained_beam_search_fast(
     beam_size: int,
     per_node_beam_size: int = 0,
     end_index: int,
+    raw_step: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Same contract as :func:`style_seqcvae_tpu.decoding.cbs.
-    constrained_beam_search`: returns ((B, S, K, T), (B, S, K))."""
+    constrained_beam_search`: returns ((B, S, K, T), (B, S, K)).
+
+    ``raw_step=True``: the step fn returns ``((logits, logz), state)``
+    (captioner.make_step_fn(return_raw=True)); selection happens on raw
+    logits and only the few selected values get the -logz correction —
+    no (G, V) log_softmax materialization. End-token freezing is applied
+    post-selection (valid because the end token is never a constraint
+    wordform, so it always takes the default transition)."""
     B, S = fsm.default_dest.shape
     E = fsm.exc_token.shape[-1]
     K = beam_size
@@ -126,7 +134,12 @@ def constrained_beam_search_fast(
     lp0, state = step_fn(
         start_tokens[:, None, None],
         jax.tree_util.tree_map(lambda t: t[:, None, None], init_state), k0)
-    lp0 = lp0[:, 0, 0, :]                                     # (B, V)
+    if raw_step:
+        logits0, logz0 = lp0
+        lp0 = (logits0[:, 0, 0, :].astype(jnp.float32)
+               - logz0[:, 0, 0, None])
+    else:
+        lp0 = lp0[:, 0, 0, :]                                 # (B, V)
     V = lp0.shape[-1]
 
     exc_mask0 = jnp.zeros((B, V), bool).at[
@@ -162,42 +175,59 @@ def constrained_beam_search_fast(
 
     step_keys = jax.random.split(rng, max_steps - 1)
 
+    end_pattern = jnp.full((pnbs,), MASK_VAL).at[0].set(0.0)
+
     def scan_step(carry, key):
         state, last_preds, last_lp = carry
-        log_probs, new_state = step_fn(last_preds, state, key)   # (B, S, K, V)
-        cleaned = _cleaned_log_probs(log_probs, last_preds, end_index)
+        out, new_state = step_fn(last_preds, state, key)         # (B, S, K, V)
+        if raw_step:
+            logits, logz = out
+            # ONE full-vocab top-k on RAW logits (same order as log-probs)…
+            def_l, def_cls = small_top_k(
+                jnp.where(exc_vocab_mask[:, :, None, :], MASK_VAL, logits), pnbs)
+            def_lp = def_l.astype(jnp.float32) - logz[..., None]
+            exc_l = jnp.take_along_axis(
+                logits, jnp.broadcast_to(fsm.exc_token[:, :, None, :],
+                                         (B, S, K, E)), axis=-1)
+            exc_lp = exc_l.astype(jnp.float32) - logz[..., None]
+            exc_lp = jnp.where(fsm.exc_valid[:, :, None, :], exc_lp, MASK_VAL)
+            # end freezing post-selection: ended beams emit end with lp 0
+            ended = (last_preds == end_index)[..., None]
+            def_lp = jnp.where(ended, end_pattern, def_lp)
+            def_cls = jnp.where(ended, end_index, def_cls)
+            exc_lp = jnp.where(ended, MASK_VAL, exc_lp)
+        else:
+            cleaned = _cleaned_log_probs(out, last_preds, end_index)
+            # ONE full-vocab top-k (default/non-exception tokens)…
+            def_lp, def_cls = small_top_k(
+                jnp.where(exc_vocab_mask[:, :, None, :], MASK_VAL, cleaned), pnbs)
+            # …plus an O(E) gather of exception-token log-probs.
+            exc_lp = jnp.take_along_axis(
+                cleaned, jnp.broadcast_to(fsm.exc_token[:, :, None, :],
+                                          (B, S, K, E)), axis=-1)
+            exc_lp = jnp.where(fsm.exc_valid[:, :, None, :], exc_lp, MASK_VAL)
 
-        # ONE full-vocab top-k (default/non-exception tokens)…
-        def_lp, def_cls = small_top_k(
-            jnp.where(exc_vocab_mask[:, :, None, :], MASK_VAL, cleaned), pnbs)
-        # …plus an O(E) gather of exception-token log-probs.
-        exc_lp = jnp.take_along_axis(
-            cleaned, jnp.broadcast_to(fsm.exc_token[:, :, None, :], (B, S, K, E)),
+        # All remaining work runs on tiny (≤ K·(pnbs+E)) tensors — vectorize
+        # over an explicit target-state axis S_to instead of a sequential
+        # scan (the scan's per-state dispatch barriers dominated).
+        tgt = states_iota                                            # (S_to,)
+        dmask = fsm.default_dest[:, None, :] == tgt[None, :, None]   # (B,S_to,S_from)
+        def_c = jnp.where(dmask[:, :, :, None, None], def_lp[:, None], MASK_VAL)
+        emask = fsm.exc_dest[:, None, :, :] == tgt[None, :, None, None]
+        exc_c = jnp.where(emask[:, :, :, None, :], exc_lp[:, None], MASK_VAL)
+        cand = jnp.concatenate([def_c, exc_c], axis=-1)   # (B,S_to,S_from,K,pnbs+E)
+        top_lp, top_idx = small_top_k(cand, pnbs)         # (B,S_to,S_from,K,pnbs)
+        cand_cls = jnp.concatenate([
+            jnp.broadcast_to(def_cls[:, None], (B, S) + def_cls.shape[1:]),
+            jnp.broadcast_to(fsm.exc_token[:, None, :, None, :], (B, S, S, K, E))],
             axis=-1)
-        exc_lp = jnp.where(fsm.exc_valid[:, :, None, :], exc_lp, MASK_VAL)
-
-        def target_state(_, i):
-            dmask = (fsm.default_dest == i)[:, :, None, None]        # (B,S,1,1)
-            def_c = jnp.where(dmask, def_lp, MASK_VAL)               # (B,S,K,pnbs)
-            emask = (fsm.exc_dest == i)[:, :, None, :]               # (B,S,1,E)
-            exc_c = jnp.where(emask, exc_lp, MASK_VAL)               # (B,S,K,E)
-            cand = jnp.concatenate([def_c, exc_c], axis=-1)          # (B,S,K,pnbs+E)
-            top_lp, top_idx = small_top_k(cand, pnbs)                # (B,S,K,pnbs)
-            cand_cls = jnp.concatenate([
-                def_cls, jnp.broadcast_to(fsm.exc_token[:, :, None, :], (B, S, K, E))],
-                axis=-1)
-            top_cls = jnp.take_along_axis(cand_cls, top_idx, axis=-1)
-            summed = top_lp.astype(jnp.float32) + last_lp[..., None]
-            flat_lp = summed.reshape(B, S * K * pnbs)
-            flat_cls = top_cls.reshape(B, S * K * pnbs)
-            new_lp, idx = jax.lax.top_k(flat_lp, K)
-            new_cls = jnp.take_along_axis(flat_cls, idx, axis=1)
-            return None, (new_lp, new_cls, idx // pnbs)
-
-        _, (lp_i, cls_i, bp_i) = jax.lax.scan(target_state, None, states_iota)
-        new_lp = jnp.transpose(lp_i, (1, 0, 2))
-        new_preds = jnp.transpose(cls_i, (1, 0, 2))
-        backptr = jnp.transpose(bp_i, (1, 0, 2)).reshape(B, S * K)
+        top_cls = jnp.take_along_axis(cand_cls, top_idx, axis=-1)
+        summed = top_lp.astype(jnp.float32) + last_lp[:, None, :, :, None]
+        flat_lp = summed.reshape(B, S, S * K * pnbs)
+        flat_cls = top_cls.reshape(B, S, S * K * pnbs)
+        new_lp, idx = jax.lax.top_k(flat_lp, K)           # (B, S_to, K)
+        new_preds = jnp.take_along_axis(flat_cls, idx, axis=2)
+        backptr = (idx // pnbs).reshape(B, S * K)
 
         new_state = jax.tree_util.tree_map(
             lambda t: jnp.take_along_axis(

@@ -313,13 +313,20 @@ def make_decode_context(params: Dict[str, Any], cfg: CaptionerConfig,
                          prior_mean, prior_var, sentiment, obj_att_embeds)
 
 
-def make_step_fn(params: Dict[str, Any], cfg: CaptionerConfig, ctx: DecodeContext):
+def make_step_fn(params: Dict[str, Any], cfg: CaptionerConfig, ctx: DecodeContext,
+                 return_raw: bool = False):
     """Build the decoding step function used by greedy/beam/CBS search.
 
     ``step(tokens, state, rng) -> (log_probs, new_state)`` where ``tokens``
     has shape (B, ...) with arbitrary inner grid dims (beam, FSM states,
     z-samples); log-probs are returned (reference updown_captioner.py:450).
-    Image features stay at (B, N, F) — never replicated per beam."""
+    Image features stay at (B, N, F) — never replicated per beam.
+
+    With ``return_raw=True`` the step returns ``((logits, logz), new_state)``
+    where ``log_probs = logits - logz[..., None]`` — searches that only need
+    a top-k can select on raw logits (same order) and correct the few
+    selected values by the per-row scalar, skipping a full (G, V)
+    log_softmax materialization."""
 
     def step(tokens: jnp.ndarray, state: CellState, rng: jax.Array):
         tok_emb = params["embedding"][tokens]
@@ -335,6 +342,10 @@ def make_step_fn(params: Dict[str, Any], cfg: CaptionerConfig, ctx: DecodeContex
             sentiment=ctx.sentiment, obj_att_embeds=ctx.obj_att_embeds,
             prior_mean=ctx.prior_mean, prior_var=ctx.prior_var)
         logits = output_logits(params, cfg, h_dec)
+        if return_raw:
+            logz = jax.scipy.special.logsumexp(
+                logits.astype(jnp.float32), axis=-1)
+            return (logits, logz), new_state
         return jax.nn.log_softmax(logits, axis=-1), new_state
 
     return step

@@ -118,3 +118,44 @@ def test_small_top_k_matches_lax():
         v2, i2 = jax.lax.top_k(x, k)
         np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=1e-6)
         np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+
+def test_raw_step_equals_logprob_step():
+    """raw_step=True (logits + logsumexp correction, post-selection end
+    freezing) must reproduce the log-prob path exactly."""
+    import jax.numpy as jnp
+    from style_seqcvae_tpu.models.captioner import (
+        CaptionerConfig, init_captioner, make_decode_context, make_step_fn)
+    from style_seqcvae_tpu.models.updown_cell import init_cell_state
+
+    cfg = CaptionerConfig(vocab_size=30, image_feature_size=6, embedding_size=5,
+                          hidden_size=4, attention_projection_size=3, z_space=2,
+                          max_caption_length=7, beam_size=3, use_cbs=True)
+    params = init_captioner(jax.random.PRNGKey(0), cfg)
+    feats = jax.random.normal(jax.random.PRNGKey(1), (2, 4, 6))
+    ctx = make_decode_context(params, cfg, feats)
+    st = init_cell_state((2,), cfg.hidden_size)
+
+    fsm = np.zeros((4, 4, 30), np.uint8)
+    for s in range(4):
+        fsm[s, s, :] = 1
+    for (a, b, t) in [(0, 1, 5), (0, 2, 7), (1, 3, 7), (2, 3, 5)]:
+        fsm[a, b, t] = 1
+        fsm[a, a, t] = 0
+    tables = stack_fsm_tables([fsm_to_tables(fsm)] * 2)
+
+    kwargs = dict(max_steps=7, beam_size=3, per_node_beam_size=2,
+                  end_index=cfg.boundary_index)
+    seqs1, lp1 = constrained_beam_search_fast(
+        make_step_fn(params, cfg, ctx), jnp.full((2,), cfg.boundary_index),
+        st, tables, jax.random.PRNGKey(3), **kwargs)
+    seqs2, lp2 = constrained_beam_search_fast(
+        make_step_fn(params, cfg, ctx, return_raw=True),
+        jnp.full((2,), cfg.boundary_index), st, tables, jax.random.PRNGKey(3),
+        **kwargs, raw_step=True)
+    lp1, lp2 = np.asarray(lp1), np.asarray(lp2)
+    reachable = lp1 > -1e18
+    np.testing.assert_allclose(np.where(reachable, lp2, 0),
+                               np.where(reachable, lp1, 0), atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(seqs2)[reachable],
+                                  np.asarray(seqs1)[reachable])
