@@ -98,6 +98,7 @@ def main():
     key = jax.random.PRNGKey(_C.RANDOM_SEED + 7)
 
     predictions = []
+    n_fallbacks = 0
     n_images = len(dataset) if not _A.max_images else min(_A.max_images, len(dataset))
     for idx in range(n_images):
         item = dataset[idx]
@@ -110,28 +111,17 @@ def main():
                 batch["obj_atts"], _C.DATA.MAX_BOXES))
 
         key, k = jax.random.split(key)
-        if _C.MODEL.USE_CBS:
-            if model_cfg.cbs_simple:
-                best, _ = harness.decode_cbs(
-                    feats, sentiment, obj_att_embeds, batch["fsm_tables"],
-                    batch["num_constraints"], k, n_z)
-                captions_tok = best[:, 0, :]                  # (n_z, T)
-            else:
-                seqs, lp = harness.decode_cbs(
-                    feats, sentiment, obj_att_embeds, batch["fsm_tables"],
-                    batch["num_constraints"], k, n_z, return_all=True)
-                captions_tok = []
-                for z in range(n_z):
-                    ci = min(z, len(batch["candidates"]) - 1)
-                    best, _ = select_best_beam_with_constraints(
-                        seqs[z], lp[z],
-                        [int(batch["num_constraints"][min(z, len(batch["num_constraints"]) - 1)])],
-                        [batch["candidates"][ci]],
-                        [batch["constraint2states"][ci]],
-                        model_cfg.min_constraints_to_satisfy, cbs_simple=False)
-                    captions_tok.append(best[0])
-                captions_tok = np.stack(captions_tok)
-        else:
+        try:
+            captions_tok = _decode_one(
+                _C, model_cfg, harness, batch, feats, sentiment,
+                obj_att_embeds, k, n_z)
+        except Exception as e:
+            # Reference falls back to an unconstrained decode when CBS fails
+            # for an image (inference.py:160-170) — do the same, but counted
+            # and logged instead of silent (SURVEY §5.3).
+            print(f"image {int(batch['image_id'][0])}: CBS failed ({e}); "
+                  "falling back to unconstrained beam search")
+            n_fallbacks += 1
             seqs, _ = harness.decode_beam(feats, sentiment, obj_att_embeds, k, n_z)
             captions_tok = seqs[:, 0, :]
 
@@ -148,7 +138,38 @@ def main():
     os.makedirs(os.path.dirname(os.path.abspath(_A.output_path)), exist_ok=True)
     with open(_A.output_path, "w") as f:
         json.dump(predictions, f)
+    if n_fallbacks:
+        print(f"{n_fallbacks} images fell back to unconstrained decoding")
     print(f"wrote {len(predictions)} predictions to {_A.output_path}")
+
+
+def _decode_one(_C, model_cfg, harness, batch, feats, sentiment,
+                obj_att_embeds, k, n_z):
+    import numpy as np
+
+    from style_seqcvae_tpu.decoding.select import select_best_beam_with_constraints
+
+    if _C.MODEL.USE_CBS:
+        if model_cfg.cbs_simple:
+            best, _ = harness.decode_cbs(
+                feats, sentiment, obj_att_embeds, batch["fsm_tables"],
+                batch["num_constraints"], k, n_z)
+            return best[:, 0, :]                              # (n_z, T)
+        seqs, lp = harness.decode_cbs(
+            feats, sentiment, obj_att_embeds, batch["fsm_tables"],
+            batch["num_constraints"], k, n_z, return_all=True)
+        captions_tok = []
+        for z in range(n_z):
+            ci = min(z, len(batch["candidates"]) - 1)
+            ni = min(z, len(batch["num_constraints"]) - 1)
+            best, _ = select_best_beam_with_constraints(
+                seqs[z], lp[z], [int(batch["num_constraints"][ni])],
+                [batch["candidates"][ci]], [batch["constraint2states"][ci]],
+                model_cfg.min_constraints_to_satisfy, cbs_simple=False)
+            captions_tok.append(best[0])
+        return np.stack(captions_tok)
+    seqs, _ = harness.decode_beam(feats, sentiment, obj_att_embeds, k, n_z)
+    return seqs[:, 0, :]
 
 
 if __name__ == "__main__":
