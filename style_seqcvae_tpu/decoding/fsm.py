@@ -168,3 +168,98 @@ class FiniteStateMachineBuilder:
         S = max(S, self._num_main_states)
         packed = pack_fsm(fsm[:S, :S, :])
         return packed, used, c2s
+
+    def build_tables(self, constraints: List[str],
+                     num_states: Optional[int] = None):
+        """Build the exception-form FSMTables DIRECTLY — no dense
+        (S, S, V) materialization. Replays exactly the assignment sequence
+        of :meth:`_connect` against a sparse adjacency; the inference host
+        path builds one FSM per (image, z-sample), so this is ~1000× less
+        work than dense-build + convert.
+
+        Returns ``(FSMTables, used_states, constraint2states)``."""
+        from style_seqcvae_tpu.decoding.cbs_fast import FSMTables
+
+        sparse = _SparseAdjacency(self._num_main_states)
+        constraint2states: Dict[str, List[int]] = {}
+        substate_idx = self._num_main_states
+        state_idxs: Dict[str, List[int]] = {}
+        for i, constraint in enumerate(constraints):
+            sparse, substate_idx, main_states, state_idxs = self._add_nth_constraint(
+                sparse, i + 1, substate_idx, constraint, 2 ** len(constraints),
+                state_idxs)
+            constraint2states[constraint] = main_states
+
+        S = max(num_states or substate_idx, self._num_main_states)
+        default_dest = np.zeros((S,), np.int32)
+        entries: List[List[Tuple[int, int]]] = []
+        for s in range(S):
+            d = sparse.default.get(s, s)
+            d = s if d is None else d
+            default_dest[s] = d
+            row: List[Tuple[int, int]] = []
+            for tok, dests in sorted(sparse.exc.get(s, {}).items()):
+                dests = {t for t in dests if t < S}
+                if dests == {d}:
+                    continue  # identical to the default transition
+                for t in sorted(dests):
+                    row.append((tok, t))
+            entries.append(row)
+
+        E = max((len(r) for r in entries), default=1) or 1
+        exc_token = np.zeros((S, E), np.int32)
+        exc_dest = np.zeros((S, E), np.int32)
+        exc_valid = np.zeros((S, E), bool)
+        for s, row in enumerate(entries):
+            for j, (tok, t) in enumerate(row):
+                exc_token[s, j], exc_dest[s, j], exc_valid[s, j] = tok, t, True
+        return (FSMTables(default_dest, exc_token, exc_dest, exc_valid),
+                substate_idx, constraint2states)
+
+
+class _SparseAdjacency:
+    """Replays the dense assignment patterns of
+    FiniteStateMachineBuilder._connect on a sparse representation:
+    per-state default destination + {token: dest-set} exceptions.
+
+    Supported keys (the only patterns _connect uses):
+    ``[f, t, wi] = 1``, ``[f, f, wi] = 0``, ``[f, f, :] = 0``,
+    ``[f, r, :] = 1``, ``[f, r, wi] = 0``."""
+
+    def __init__(self, num_main: int):
+        self.default: Dict[int, Optional[int]] = {s: s for s in range(num_main)}
+        self.exc: Dict[int, Dict[int, set]] = {}
+
+    def _domain(self, f: int, w: int) -> set:
+        row = self.exc.setdefault(f, {})
+        if w not in row:
+            d = self.default.get(f)
+            row[w] = set() if d is None else {d}
+        return row[w]
+
+    def __setitem__(self, key, value):
+        f, t, w = key
+        if isinstance(w, slice):          # fsm[f, t, :] = value
+            if value == 0:
+                # remove destination t for ALL tokens
+                if self.default.get(f) == t:
+                    self.default[f] = None
+                for dests in self.exc.get(f, {}).values():
+                    dests.discard(t)
+            else:
+                # add destination t for ALL tokens
+                d = self.default.get(f)
+                if d is None:
+                    self.default[f] = t
+                elif d != t:
+                    raise NotImplementedError(
+                        "dense-slice add with existing default — pattern "
+                        "not produced by _connect")
+                for dests in self.exc.get(f, {}).values():
+                    dests.add(t)
+            return
+        dests = self._domain(f, w)
+        if value == 0:
+            dests.discard(t)
+        else:
+            dests.add(t)

@@ -104,3 +104,67 @@ def test_repeated_constraint_handling():
     assert fsm.shape[0] == 24
     dog = vocab.get_token_index("dog")
     assert fsm[0, 1, dog] == 1
+
+
+def test_direct_tables_equal_dense_conversion():
+    """build_tables (sparse replay, no dense materialization) must produce
+    semantically identical exception tables to dense-build + fsm_to_tables."""
+    from style_seqcvae_tpu.decoding.cbs_fast import fsm_to_tables
+
+    vocab = make_vocab()
+    b = make_builder(vocab)
+
+    cases = [
+        ["dog"], ["dog", "cat"], ["fire hydrant"], ["dog", "fire hydrant"],
+        ["fire", "fire hydrant"],          # nondeterministic shared wordform
+        ["dog", "dog"],                    # repeated constraint
+        ["salt and pepper", "dog", "cat"],
+    ]
+    for constraints in cases:
+        dense, used_d, c2s_d = b.build(constraints)
+        td = fsm_to_tables(dense[:max(used_d, 8), :max(used_d, 8)])
+        ts, used_s, c2s_s = b.build_tables(constraints)
+        assert used_s == used_d and c2s_s == c2s_d, constraints
+
+        def triples(t):
+            out = set()
+            S = t.default_dest.shape[0]
+            for s in range(S):
+                for j in range(t.exc_token.shape[1]):
+                    if t.exc_valid[s, j]:
+                        out.add((s, int(t.exc_token[s, j]), int(t.exc_dest[s, j])))
+            return out
+
+        S = min(td.default_dest.shape[0], ts.default_dest.shape[0])
+        np.testing.assert_array_equal(np.asarray(td.default_dest)[:S],
+                                      np.asarray(ts.default_dest)[:S])
+        assert triples(td) == triples(ts), constraints
+
+
+def test_direct_tables_much_faster():
+    import time
+
+    from style_seqcvae_tpu.decoding.cbs_fast import fsm_to_tables
+
+    vocab = make_vocab()
+    # inflate the vocabulary to realistic size
+    big = Vocabulary([UNK_TOKEN, BOUNDARY_TOKEN] +
+                     [f"w{i}" for i in range(10000)] +
+                     ["dog", "dogs", "cat", "fire", "hydrant"])
+    b = FiniteStateMachineBuilder(big)
+    b.add_wordforms("dog", ["dog", "dogs"])
+    b.add_wordforms("cat", ["cat"])
+    b.add_wordforms("fire", ["fire"])
+    b.add_wordforms("hydrant", ["hydrant"])
+
+    t0 = time.time()
+    for _ in range(3):
+        dense, used, _ = b.build(["dog", "cat", "fire hydrant"])
+        fsm_to_tables(dense[:used, :used])
+    dense_t = (time.time() - t0) / 3
+
+    t0 = time.time()
+    for _ in range(20):
+        b.build_tables(["dog", "cat", "fire hydrant"])
+    direct_t = (time.time() - t0) / 20
+    assert direct_t < dense_t / 20, (direct_t, dense_t)
