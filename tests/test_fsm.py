@@ -167,4 +167,5 @@ def test_direct_tables_much_faster():
     for _ in range(20):
         b.build_tables(["dog", "cat", "fire hydrant"])
     direct_t = (time.time() - t0) / 20
-    assert direct_t < dense_t / 20, (direct_t, dense_t)
+    # typically >100x; assert a conservative 5x to avoid CI-timing flakes
+    assert direct_t < dense_t / 5, (direct_t, dense_t)
