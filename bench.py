@@ -32,7 +32,8 @@ def bench_tpu_cbs(batch=8, n_z=20, n_states=8, beam=5, vocab=10500, boxes=100,
         constrained_beam_search_fast, fsm_to_tables, stack_fsm_tables)
     from style_seqcvae_tpu.decoding.select import select_best_beam_simple_jax
     from style_seqcvae_tpu.models.captioner import (
-        CaptionerConfig, init_captioner, make_decode_context, make_step_fn)
+        CaptionerConfig, init_captioner, make_decode_context,
+        make_optimized_step_fn)
     from style_seqcvae_tpu.models.updown_cell import init_cell_state
 
     jdtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
@@ -69,7 +70,7 @@ def bench_tpu_cbs(batch=8, n_z=20, n_states=8, beam=5, vocab=10500, boxes=100,
     @jax.jit
     def decode_all(params, feats, sentiment, tables, key):
         ctx = make_decode_context(params, cfg, feats, sentiment=sentiment)
-        step = make_step_fn(params, cfg, ctx, return_raw=True)
+        step = make_optimized_step_fn(params, cfg, ctx, return_raw=True)
         init_state = init_cell_state((batch,), cfg.hidden_size, jdtype)
         start = jnp.full((batch,), cfg.boundary_index)
 

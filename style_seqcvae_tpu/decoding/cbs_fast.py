@@ -177,6 +177,13 @@ def constrained_beam_search_fast(
 
     end_pattern = jnp.full((pnbs,), MASK_VAL).at[0].set(0.0)
 
+    if raw_step:
+        # Exception-token logits via a tiny one-hot einsum (MXU) instead of
+        # a lane-dimension gather (slow on TPU). (B, S, E, V) is ~1 MB.
+        # dtype follows the model so f32 models stay exact.
+        exc_onehot = jax.nn.one_hot(fsm.exc_token, V, dtype=jnp.float32)
+        exc_onehot = exc_onehot * fsm.exc_valid[..., None]
+
     def scan_step(carry, key):
         state, last_preds, last_lp = carry
         out, new_state = step_fn(last_preds, state, key)         # (B, S, K, V)
@@ -186,10 +193,10 @@ def constrained_beam_search_fast(
             def_l, def_cls = small_top_k(
                 jnp.where(exc_vocab_mask[:, :, None, :], MASK_VAL, logits), pnbs)
             def_lp = def_l.astype(jnp.float32) - logz[..., None]
-            exc_l = jnp.take_along_axis(
-                logits, jnp.broadcast_to(fsm.exc_token[:, :, None, :],
-                                         (B, S, K, E)), axis=-1)
-            exc_lp = exc_l.astype(jnp.float32) - logz[..., None]
+            exc_l = jnp.einsum("bskv,bsev->bske", logits,
+                               exc_onehot.astype(logits.dtype),
+                               preferred_element_type=jnp.float32)
+            exc_lp = exc_l - logz[..., None]
             exc_lp = jnp.where(fsm.exc_valid[:, :, None, :], exc_lp, MASK_VAL)
             # end freezing post-selection: ended beams emit end with lp 0
             ended = (last_preds == end_index)[..., None]

@@ -92,9 +92,9 @@ def baseline_cell_step(params: BaselineCellParams, token_embedding: jnp.ndarray,
     h1, c1 = lstm_cell(params.attention_lstm, attn_in, state.h1, state.c1)
     attn_w = attention_weights(params.attention, h1, projected_image_features,
                                image_features_mask)
-    feats = image_features.reshape(
-        (image_features.shape[0],) + (1,) * extra + image_features.shape[1:])
-    attended = jnp.sum(attn_w[..., None] * feats, axis=-2)
+    from style_seqcvae_tpu.models.updown_cell import _attend
+
+    attended = _attend(attn_w, image_features)
     lang_in = jnp.concatenate([attended, h1, state.h2], axis=-1)
     h2, c2 = lstm_cell(params.language_lstm, lang_in, state.h2, state.c2)
     return h2, BaselineState(h1, c1, h2, c2)

@@ -31,7 +31,9 @@ from style_seqcvae_tpu.models.attention import project_image_features
 from style_seqcvae_tpu.models.updown_cell import (
     CellParams,
     CellState,
+    _attend,
     cell_step,
+    condition_size,
     image_feature_stats,
     init_cell,
     init_cell_state,
@@ -341,6 +343,126 @@ def make_step_fn(params: Dict[str, Any], cfg: CaptionerConfig, ctx: DecodeContex
             latent_embedding=cfg.latent_embedding,
             sentiment=ctx.sentiment, obj_att_embeds=ctx.obj_att_embeds,
             prior_mean=ctx.prior_mean, prior_var=ctx.prior_var)
+        logits = output_logits(params, cfg, h_dec)
+        if return_raw:
+            logz = jax.scipy.special.logsumexp(
+                logits.astype(jnp.float32), axis=-1)
+            return (logits, logz), new_state
+        return jax.nn.log_softmax(logits, axis=-1), new_state
+
+    return step
+
+
+def make_optimized_step_fn(params: Dict[str, Any], cfg: CaptionerConfig,
+                           ctx: DecodeContext, return_raw: bool = False):
+    """Inference step with step-constant LSTM input segments folded out.
+
+    The fused attention-LSTM matmul consumes ``[tok_emb, avg_feats, h1,
+    h_dec]`` (updown_cell.py:143-148); ``tok_emb @ W`` depends only on the
+    token id (precompute the whole-vocab gate table once) and ``avg @ W``
+    only on the image (precompute per batch). The per-step matmul shrinks
+    from E+F+2H to 2H input dims — a ~2.5× FLOP cut on the largest matmul.
+    The decoder LSTM's sentiment segment (mode 1) folds the same way.
+
+    Exactly equivalent to :func:`make_step_fn` (tested); supports every
+    prior mode. Only the inference path (z ~ prior) is implemented."""
+    cell = params["cell"]
+    E, F, H = cfg.embedding_size, cfg.image_feature_size, cfg.hidden_size
+    cond = condition_size(cfg.sentiment_vae, cfg.simple_vae,
+                          cfg.latent_embedding, cfg.z_space)
+
+    # ---- attention LSTM: split W rows by input segment -------------------
+    w_a = cell.attention_lstm.w
+    w_a_tok, w_a_avg, w_a_h = w_a[:E], w_a[E:E + F], w_a[E + F:]
+    tok_gate_table = jnp.dot(params["embedding"], w_a_tok,
+                             preferred_element_type=jnp.float32
+                             ).astype(w_a.dtype)                 # (V, 4H)
+    avg_gates = jnp.dot(ctx.averaged_image_features, w_a_avg,
+                        preferred_element_type=jnp.float32
+                        ).astype(w_a.dtype)                      # (B, 4H)
+
+    # ---- decoder LSTM: fold the constant condition segment ---------------
+    w_d = cell.decoder_lstm.w
+    # input layout: [attended(F), h1(H), h_dec(H), cond?, z] + recurrent h
+    sent_gates = None
+    if cond == 1 and cfg.sentiment_vae == 1:
+        w_d_sent = w_d[F + 2 * H:F + 2 * H + 1]
+        sent_gates = jnp.dot(ctx.sentiment.astype(w_d.dtype), w_d_sent,
+                             preferred_element_type=jnp.float32
+                             ).astype(w_d.dtype)                 # (B, 4H)
+
+    def gate_math(gates, h, c):
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        c_new = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+        h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+        return h_new.astype(h.dtype), c_new.astype(c.dtype)
+
+    from style_seqcvae_tpu.models.attention import attention_weights
+
+    def step(tokens: jnp.ndarray, state: CellState, rng: jax.Array):
+        grid = tokens.shape
+        extra = len(grid) - 1
+
+        def bcast(x):
+            return (x.reshape((x.shape[0],) + (1,) * extra + x.shape[1:])
+                    if extra else x)
+
+        # attention LSTM: gather + const + dynamic matmul over
+        # [h1, h_dec] (input tail) + h1 (recurrent) — see LSTMCellParams
+        # fused layout (input rows then hidden rows).
+        xh = jnp.concatenate([state.h1, state.h_dec, state.h1], axis=-1)
+        gates = (tok_gate_table[tokens]
+                 + jnp.broadcast_to(bcast(avg_gates), grid + (4 * H,))
+                 + jnp.dot(xh, w_a_h, preferred_element_type=jnp.float32
+                           ).astype(w_a.dtype)
+                 + cell.attention_lstm.b)
+        h1, c1 = gate_math(gates, state.h1, state.c1)
+
+        attn_w = attention_weights(cell.attention, h1,
+                                   ctx.projected_image_features,
+                                   ctx.image_features_mask)
+        attended = _attend(attn_w, ctx.image_features)
+
+        # prior (mode 2: per-step attention-weighted attribute mean)
+        if cfg.sentiment_vae == 2 and ctx.obj_att_embeds is not None:
+            prior_mean = _attend(attn_w, ctx.obj_att_embeds)
+        else:
+            prior_mean = jnp.broadcast_to(bcast(ctx.prior_mean),
+                                          grid + ctx.prior_mean.shape[-1:])
+        if cfg.simple_vae:
+            prior_mean = jnp.zeros_like(prior_mean)
+        prior_var = jnp.broadcast_to(bcast(ctx.prior_var), prior_mean.shape)
+
+        eps = jax.random.normal(rng, prior_mean.shape, prior_mean.dtype)
+        z = eps * jnp.sqrt(prior_var) + prior_mean
+
+        # decoder LSTM: dynamic segments [attended, h1, h_dec, (c mode2), z, h_dec]
+        parts = [attended, h1, state.h_dec]
+        w_rows = [w_d[:F], w_d[F:F + H], w_d[F + H:F + 2 * H]]
+        offset = F + 2 * H
+        const_gates = cell.decoder_lstm.b
+        if sent_gates is not None:
+            const_gates = const_gates + jnp.broadcast_to(
+                bcast(sent_gates), grid + (4 * H,))
+            offset += 1
+        elif cond and cfg.sentiment_vae == 2:
+            c = (prior_mean[..., 0:1]
+                 if cfg.latent_embedding == "senti_word_net" else prior_mean)
+            parts.append(c)
+            w_rows.append(w_d[offset:offset + c.shape[-1]])
+            offset += c.shape[-1]
+        parts.append(z)
+        w_rows.append(w_d[offset:offset + cfg.z_space])
+        parts.append(state.h_dec)                      # recurrent h
+        w_rows.append(w_d[offset + cfg.z_space:])
+        dyn = jnp.concatenate([p.astype(w_d.dtype) for p in parts], axis=-1)
+        w_dyn = jnp.concatenate(w_rows, axis=0)
+        gates_d = (jnp.dot(dyn, w_dyn, preferred_element_type=jnp.float32
+                           ).astype(w_d.dtype) + const_gates)
+        h_dec, c_dec = gate_math(gates_d, state.h_dec, state.c_dec)
+
+        new_state = CellState(h1=h1, c1=c1, h_enc=state.h_enc,
+                              c_enc=state.c_enc, h_dec=h_dec, c_dec=c_dec)
         logits = output_logits(params, cfg, h_dec)
         if return_raw:
             logz = jax.scipy.special.logsumexp(

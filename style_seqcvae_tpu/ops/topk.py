@@ -20,12 +20,14 @@ def small_top_k(x: jnp.ndarray, k: int, iterative_threshold: int = 8
     if k > iterative_threshold:
         return jax.lax.top_k(x, k)
     vals, idxs = [], []
+    # lazily-masked chain: the arange-compare fuses into the next reduction
+    # (no (… , V) bool/one-hot materialization between iterations).
+    col = jnp.arange(x.shape[-1], dtype=jnp.int32)
     cur = x
     for _ in range(k):
         idx = jnp.argmax(cur, axis=-1)
-        val = jnp.take_along_axis(cur, idx[..., None], axis=-1)[..., 0]
+        val = jnp.max(cur, axis=-1)
         vals.append(val)
         idxs.append(idx)
-        cur = jnp.where(
-            jax.nn.one_hot(idx, x.shape[-1], dtype=bool), -jnp.inf, cur)
+        cur = jnp.where(col == idx[..., None], -jnp.inf, cur)
     return jnp.stack(vals, axis=-1), jnp.stack(idxs, axis=-1)

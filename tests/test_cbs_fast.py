@@ -159,3 +159,44 @@ def test_raw_step_equals_logprob_step():
                                np.where(reachable, lp1, 0), atol=1e-4)
     np.testing.assert_array_equal(np.asarray(seqs2)[reachable],
                                   np.asarray(seqs1)[reachable])
+
+
+def test_optimized_step_equals_regular():
+    """make_optimized_step_fn (folded constant gate segments) must match
+    make_step_fn exactly for all prior modes."""
+    import jax.numpy as jnp
+    from style_seqcvae_tpu.models.captioner import (
+        CaptionerConfig, init_captioner, make_decode_context,
+        make_optimized_step_fn, make_step_fn)
+    from style_seqcvae_tpu.models.updown_cell import init_cell_state
+
+    rngs = np.random.RandomState(0)
+    for mode, simple in [(0, True), (0, False), (1, False), (2, False)]:
+        cfg = CaptionerConfig(vocab_size=30, image_feature_size=6,
+                              embedding_size=5, hidden_size=4,
+                              attention_projection_size=3, z_space=2,
+                              sentiment_vae=mode, simple_vae=simple,
+                              max_caption_length=5, beam_size=2)
+        params = init_captioner(jax.random.PRNGKey(mode), cfg)
+        feats = jnp.asarray(rngs.randn(2, 4, 6).astype(np.float32))
+        sent = jnp.asarray(rngs.choice([-1.0, 1.0], (2, 1)).astype(np.float32))
+        oa = (jnp.asarray(rngs.randn(2, 4, 2).astype(np.float32))
+              if mode == 2 else None)
+        ctx = make_decode_context(params, cfg, feats, sentiment=sent,
+                                  obj_att_embeds=oa)
+        step_a = make_step_fn(params, cfg, ctx)
+        step_b = make_optimized_step_fn(params, cfg, ctx)
+
+        st = init_cell_state((2, 3), cfg.hidden_size)
+        toks = jnp.asarray(rngs.randint(0, 30, (2, 3)))
+        key = jax.random.PRNGKey(9)
+        lp_a, st_a = step_a(toks, st, key)
+        lp_b, st_b = step_b(toks, st, key)
+        np.testing.assert_allclose(np.asarray(lp_b), np.asarray(lp_a),
+                                   atol=1e-5, err_msg=f"mode {mode}")
+        for fa, fb in zip(st_a, st_b):
+            np.testing.assert_allclose(np.asarray(fb), np.asarray(fa), atol=1e-5)
+        # second chained step (state threading)
+        lp_a2, _ = step_a(toks, st_a, jax.random.PRNGKey(11))
+        lp_b2, _ = step_b(toks, st_b, jax.random.PRNGKey(11))
+        np.testing.assert_allclose(np.asarray(lp_b2), np.asarray(lp_a2), atol=1e-5)
