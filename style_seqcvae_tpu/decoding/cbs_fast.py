@@ -112,6 +112,7 @@ def constrained_beam_search_fast(
     per_node_beam_size: int = 0,
     end_index: int,
     raw_step: bool = False,
+    noise: "Optional[jnp.ndarray]" = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Same contract as :func:`style_seqcvae_tpu.decoding.cbs.
     constrained_beam_search`: returns ((B, S, K, T), (B, S, K)).
@@ -131,6 +132,10 @@ def constrained_beam_search_fast(
 
     # ---- first step: transitions from state 0 ----------------------------
     rng, k0 = jax.random.split(rng)
+    if noise is not None:
+        # precomputed z-noise (max_steps, B, S, K, z) — passed to the step
+        # in place of PRNG keys (generation inside the scan is expensive)
+        k0 = noise[0][:, :1, :1]
     lp0, state = step_fn(
         start_tokens[:, None, None],
         jax.tree_util.tree_map(lambda t: t[:, None, None], init_state), k0)
@@ -173,7 +178,8 @@ def constrained_beam_search_fast(
         jnp.broadcast_to(states_iota[None, :, None], (B, S, E)),
         fsm.exc_token].set(fsm.exc_valid)
 
-    step_keys = jax.random.split(rng, max_steps - 1)
+    step_keys = (jax.random.split(rng, max_steps - 1) if noise is None
+                 else noise[1:])
 
     end_pattern = jnp.full((pnbs,), MASK_VAL).at[0].set(0.0)
 

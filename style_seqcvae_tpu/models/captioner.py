@@ -433,7 +433,11 @@ def make_optimized_step_fn(params: Dict[str, Any], cfg: CaptionerConfig,
             prior_mean = jnp.zeros_like(prior_mean)
         prior_var = jnp.broadcast_to(bcast(ctx.prior_var), prior_mean.shape)
 
-        eps = jax.random.normal(rng, prior_mean.shape, prior_mean.dtype)
+        if jnp.issubdtype(jnp.asarray(rng).dtype, jnp.floating):
+            # precomputed noise slice threaded through the search
+            eps = jnp.broadcast_to(rng.astype(prior_mean.dtype), prior_mean.shape)
+        else:
+            eps = jax.random.normal(rng, prior_mean.shape, prior_mean.dtype)
         z = eps * jnp.sqrt(prior_var) + prior_mean
 
         # decoder LSTM: dynamic segments [attended, h1, h_dec, (c mode2), z, h_dec]

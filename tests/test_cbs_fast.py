@@ -200,3 +200,43 @@ def test_optimized_step_equals_regular():
         lp_a2, _ = step_a(toks, st_a, jax.random.PRNGKey(11))
         lp_b2, _ = step_b(toks, st_b, jax.random.PRNGKey(11))
         np.testing.assert_allclose(np.asarray(lp_b2), np.asarray(lp_a2), atol=1e-5)
+
+
+def test_noise_threading_deterministic_replay():
+    """Passing precomputed z-noise instead of PRNG keys yields identical
+    results on replay (the deterministic-replay capability)."""
+    import jax.numpy as jnp
+    from style_seqcvae_tpu.models.captioner import (
+        CaptionerConfig, init_captioner, make_decode_context,
+        make_optimized_step_fn)
+    from style_seqcvae_tpu.models.updown_cell import init_cell_state
+
+    cfg = CaptionerConfig(vocab_size=30, image_feature_size=6, embedding_size=5,
+                          hidden_size=4, attention_projection_size=3, z_space=2,
+                          max_caption_length=6, beam_size=2, use_cbs=True,
+                          sentiment_vae=1, simple_vae=False)
+    params = init_captioner(jax.random.PRNGKey(0), cfg)
+    feats = jax.random.normal(jax.random.PRNGKey(1), (2, 4, 6))
+    sent = jnp.ones((2, 1))
+    ctx = make_decode_context(params, cfg, feats, sentiment=sent)
+    step = make_optimized_step_fn(params, cfg, ctx)
+    st = init_cell_state((2,), cfg.hidden_size)
+
+    fsm = np.zeros((4, 4, 30), np.uint8)
+    for s in range(4):
+        fsm[s, s, :] = 1
+    fsm[0, 1, 5] = 1
+    fsm[0, 0, 5] = 0
+    tables = stack_fsm_tables([fsm_to_tables(fsm)] * 2)
+    noise = jax.random.normal(jax.random.PRNGKey(5), (6, 2, 4, 2, cfg.z_space))
+
+    out1 = constrained_beam_search_fast(
+        step, jnp.full((2,), cfg.boundary_index), st, tables,
+        jax.random.PRNGKey(7), max_steps=6, beam_size=2,
+        end_index=cfg.boundary_index, noise=noise)
+    out2 = constrained_beam_search_fast(
+        step, jnp.full((2,), cfg.boundary_index), st, tables,
+        jax.random.PRNGKey(99), max_steps=6, beam_size=2,
+        end_index=cfg.boundary_index, noise=noise)
+    np.testing.assert_array_equal(np.asarray(out1[0]), np.asarray(out2[0]))
+    np.testing.assert_allclose(np.asarray(out1[1]), np.asarray(out2[1]), atol=1e-6)
