@@ -91,7 +91,9 @@ def beam_search(
         state, last_preds, last_lp = carry
         log_probs, new_state = step_fn(last_preds, state, key)   # (B, K, V)
         cleaned = _cleaned_log_probs(log_probs, last_preds, end_index)
-        top_lp, top_classes = jax.lax.top_k(cleaned, pnbs)       # (B, K, pnbs)
+        from style_seqcvae_tpu.ops.topk import small_top_k
+
+        top_lp, top_classes = small_top_k(cleaned, pnbs)         # (B, K, pnbs)
         summed = top_lp.astype(jnp.float32) + last_lp[..., None]
         flat_lp = summed.reshape(B, K * pnbs)
         flat_classes = top_classes.reshape(B, K * pnbs)
