@@ -23,7 +23,7 @@ import time
 import numpy as np
 
 
-def bench_tpu_cbs(batch=8, n_z=20, n_states=8, beam=5, vocab=10500, boxes=100,
+def bench_tpu_cbs(batch=16, n_z=20, n_states=8, beam=5, vocab=10500, boxes=100,
                   seq=20, dtype="bfloat16", steps=5):
     import jax
     import jax.numpy as jnp
