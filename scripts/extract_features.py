@@ -20,6 +20,10 @@ parser.add_argument("--senticap-json", default="")
 parser.add_argument("--checkpoint-path", default="")
 parser.add_argument("--checkpoint-name", default="")
 parser.add_argument("--output", default="features.h5")
+parser.add_argument("--detections-output", default="",
+                    help="also write COCO-results-format detections JSON "
+                         "(the reference's detections.pkl / "
+                         "evaluate_detections path, test_net.py:560-567)")
 parser.add_argument("--canvas", type=int, nargs=2, default=[640, 1024])
 parser.add_argument("--max-images", type=int, default=0)
 parser.add_argument("--thresh", type=float, default=0.5)
@@ -72,6 +76,8 @@ def main():
 
     n_images = len(dataset) if not _A.max_images else min(_A.max_images, len(dataset))
     writer = FeaturesWriter(_A.output, n_images)
+    all_detections = []
+    class_to_cat = {v: k for k, v in dataset.cat_id_to_class.items()}
 
     fwd = jax.jit(lambda p, im, info: detector_forward_test(
         p, det_cfg, im, info, post_nms_top_n=D.TEST.RPN_POST_NMS_TOP_N,
@@ -129,10 +135,25 @@ def main():
         if feats.size == 0:
             feats = np.zeros((1, 2048), np.float32)
         writer.write(i, rec["image_id"], feats, oa, oad)
+        if _A.detections_output and len(selected.get("boxes", [])):
+            for box, score, cls in zip(selected["boxes"], selected["scores"],
+                                       selected["class_ids"]):
+                x1, y1, x2, y2 = [float(v) for v in box]
+                all_detections.append({
+                    "image_id": int(rec["image_id"]),
+                    "category_id": int(class_to_cat[int(cls)]),
+                    "bbox": [x1, y1, x2 - x1, y2 - y1],
+                    "score": float(score)})
         if (i + 1) % 20 == 0:
             print(f"{i + 1}/{n_images} images")
     writer.close()
     print(f"wrote {n_images} rows ({skipped} skipped) to {_A.output}")
+    if _A.detections_output:
+        import json
+
+        with open(_A.detections_output, "w") as f:
+            json.dump(all_detections, f)
+        print(f"wrote {len(all_detections)} detections to {_A.detections_output}")
 
 
 if __name__ == "__main__":
