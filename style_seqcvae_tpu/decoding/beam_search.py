@@ -22,6 +22,8 @@ from typing import Callable, Tuple
 import jax
 import jax.numpy as jnp
 
+from style_seqcvae_tpu.ops.topk import small_top_k
+
 NEG_INF = float("-inf")
 
 
@@ -91,8 +93,6 @@ def beam_search(
         state, last_preds, last_lp = carry
         log_probs, new_state = step_fn(last_preds, state, key)   # (B, K, V)
         cleaned = _cleaned_log_probs(log_probs, last_preds, end_index)
-        from style_seqcvae_tpu.ops.topk import small_top_k
-
         top_lp, top_classes = small_top_k(cleaned, pnbs)         # (B, K, pnbs)
         summed = top_lp.astype(jnp.float32) + last_lp[..., None]
         flat_lp = summed.reshape(B, K * pnbs)

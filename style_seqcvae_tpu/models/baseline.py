@@ -28,7 +28,7 @@ from style_seqcvae_tpu.models.captioner import (
     add_boundary_tokens,
     output_logits,
 )
-from style_seqcvae_tpu.models.updown_cell import image_feature_stats
+from style_seqcvae_tpu.models.updown_cell import _attend, image_feature_stats
 from style_seqcvae_tpu.ops.lstm import LSTMCellParams, init_lstm_cell, lstm_cell
 
 
@@ -92,8 +92,6 @@ def baseline_cell_step(params: BaselineCellParams, token_embedding: jnp.ndarray,
     h1, c1 = lstm_cell(params.attention_lstm, attn_in, state.h1, state.c1)
     attn_w = attention_weights(params.attention, h1, projected_image_features,
                                image_features_mask)
-    from style_seqcvae_tpu.models.updown_cell import _attend
-
     attended = _attend(attn_w, image_features)
     lang_in = jnp.concatenate([attended, h1, state.h2], axis=-1)
     h2, c2 = lstm_cell(params.language_lstm, lang_in, state.h2, state.c2)
