@@ -119,9 +119,11 @@ def main():
         for idx in order[:steps_per_epoch]:
             rec = dataset.record(idx)
             img = load_image_bgr(rec["file_name"])
-            img, scale = prepare_image_np(img, D.TRAIN.SCALES[0], D.TRAIN.MAX_SIZE)
+            # flip BEFORE resize: boxes are in original-image coordinates
+            # (imdb.append_flipped_images flips at original width)
             if D.TRAIN.USE_FLIPPED and random.random() < 0.5:
                 rec, img = flip_record(rec, img)
+            img, scale = prepare_image_np(img, D.TRAIN.SCALES[0], D.TRAIN.MAX_SIZE)
             batch = make_batch([rec], [img], [scale], tuple(_A.canvas),
                                D.MAX_NUM_GT_BOXES, max(dataset.n_attribs, 1))
             batch["att_counts"] = att_counts

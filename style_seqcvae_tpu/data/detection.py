@@ -117,24 +117,6 @@ def load_image_bgr(path: str) -> np.ndarray:
     return img[:, :, ::-1].copy()
 
 
-def prepare_image(img_bgr: np.ndarray, target_size: int, max_size: int
-                  ) -> Tuple[np.ndarray, float]:
-    """Mean-subtract + shorter-side resize (blob.py prep_im_for_blob)."""
-    img = img_bgr - PIXEL_MEANS_BGR
-    h, w = img.shape[:2]
-    im_size_min, im_size_max = min(h, w), max(h, w)
-    scale = float(target_size) / im_size_min
-    if round(scale * im_size_max) > max_size:
-        scale = float(max_size) / im_size_max
-    from PIL import Image
-
-    new_w, new_h = int(round(w * scale)), int(round(h * scale))
-    resized = np.asarray(
-        Image.fromarray((img - img.min()).astype(np.uint8)).resize(
-            (new_w, new_h), Image.BILINEAR), np.float32) + img.min()
-    return resized, scale
-
-
 def prepare_image_np(img_bgr: np.ndarray, target_size: int, max_size: int
                      ) -> Tuple[np.ndarray, float]:
     """Bilinear resize in numpy (exact, no PIL quantization) — preferred."""

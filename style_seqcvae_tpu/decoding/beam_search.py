@@ -79,7 +79,7 @@ def beam_search(
 
     # --- first step: (B,) → top beam_size ---------------------------------
     rng, k0 = jax.random.split(rng)
-    start_lp, state = step_fn(start_tokens[:, None], _add_beam_dim(init_state, 1), k0)
+    start_lp, state = step_fn(start_tokens[:, None], _add_beam_dim(init_state), k0)
     start_lp = start_lp[:, 0, :]                       # (B, V)
     vocab = start_lp.shape[-1]
     last_lp, start_preds = jax.lax.top_k(start_lp, K)  # (B, K)
@@ -120,7 +120,7 @@ def greedy_decode(step_fn, start_tokens, init_state, rng, *, max_steps: int,
     beam search but cheaper (no topk bookkeeping)."""
     B = start_tokens.shape[0]
     rng, k0 = jax.random.split(rng)
-    lp, state = step_fn(start_tokens[:, None], _add_beam_dim(init_state, 1), k0)
+    lp, state = step_fn(start_tokens[:, None], _add_beam_dim(init_state), k0)
     first = jnp.argmax(lp[:, 0, :], axis=-1)
     step_keys = jax.random.split(rng, max_steps - 1)
 
@@ -135,8 +135,8 @@ def greedy_decode(step_fn, start_tokens, init_state, rng, *, max_steps: int,
     return jnp.concatenate([first[:, None], toks.T], axis=1)
 
 
-def _add_beam_dim(state, k: int):
-    return jax.tree_util.tree_map(lambda t: t[:, None] if k == 1 else None, state)
+def _add_beam_dim(state):
+    return jax.tree_util.tree_map(lambda t: t[:, None], state)
 
 
 def _tile_beam(state, k: int):

@@ -66,7 +66,13 @@ def fsm_to_tables(fsm_dense: np.ndarray, max_exceptions: int = 0) -> FSMTables:
         exc_tok = np.where(other | no_default)[0]
         row = []
         for v in exc_tok:
-            for dest in np.where(fsm_dense[s, :, v])[0]:
+            dests = np.where(fsm_dense[s, :, v])[0]
+            if len(dests) == 0:
+                # dead token (all destinations trimmed away): must still be
+                # masked out of the default transition — emit a mask-only
+                # entry with an unreachable destination.
+                row.append((int(v), -1))
+            for dest in dests:
                 row.append((int(v), int(dest)))
         entries.append(row)
 

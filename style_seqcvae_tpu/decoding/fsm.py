@@ -202,6 +202,10 @@ class FiniteStateMachineBuilder:
                 dests = {t for t in dests if t < S}
                 if dests == {d}:
                     continue  # identical to the default transition
+                if not dests:
+                    # dead token (destinations trimmed): mask-only entry so
+                    # it stays excluded from the default transition
+                    row.append((tok, -1))
                 for t in sorted(dests):
                     row.append((tok, t))
             entries.append(row)

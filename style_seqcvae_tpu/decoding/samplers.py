@@ -48,7 +48,9 @@ def sample_decode(step_fn: Callable, start_tokens: jnp.ndarray, init_state,
 
     def filt(lp):
         if temperature != 1.0:
-            lp = lp / temperature
+            # re-normalize so top-p operates on a proper distribution
+            # (reference TopPSampler applies log_softmax(lp / temperature))
+            lp = jax.nn.log_softmax(lp / temperature, axis=-1)
         if top_k:
             lp = _filter_top_k(lp, top_k)
         if top_p:
@@ -93,7 +95,6 @@ def gumbel_beam_search(step_fn: Callable, start_tokens: jnp.ndarray, init_state,
     # G(phi) with phi = lp0
     gumbel = lp0 + jax.random.gumbel(g0, lp0.shape)
     top_g, start_preds = jax.lax.top_k(gumbel, K)
-    last_phi, _ = jax.lax.top_k(lp0, K)
     last_phi = jnp.take_along_axis(lp0, start_preds, axis=1)
     last_g = top_g
     state = jax.tree_util.tree_map(

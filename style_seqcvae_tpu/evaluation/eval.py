@@ -78,7 +78,9 @@ def n_gram_diversity(captions: List[dict], n_gram_size: int = 1) -> float:
             n_words += len(toks)
             for i in range(len(toks) - n_gram_size + 1):
                 uniq.add(tuple(toks[i:i + n_gram_size]))
-        score += len(uniq) / n_words
+        # all-empty captions for an image contribute 0 diversity instead of
+        # crashing the whole sweep (the reference divides by zero here)
+        score += len(uniq) / n_words if n_words else 0.0
     return score / len(by_image)
 
 

@@ -15,7 +15,7 @@ anchor_target_layer.py}. Everything is fixed-shape:
 
 from __future__ import annotations
 
-from typing import Any, Dict, NamedTuple, Tuple
+from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -61,14 +61,13 @@ def proposal_target(rois, roi_valid, gt_boxes, num_gt, gt_atts, key,
         n_fg_avail = jnp.sum(fg_mask)
         n_bg_avail = jnp.sum(bg_mask)
 
-        k1, k2, k3 = jax.random.split(k, 3)
-        # ordered fg indices in random order (priority sort)
+        k1, k3 = jax.random.split(k)
+        # fg indices in random order (priority sort, without replacement)
         fg_pri = jnp.where(fg_mask, jax.random.uniform(k1, (P,)), -1.0)
         fg_order = jnp.argsort(-fg_pri)                     # random fg first
-        bg_order = jnp.argsort(-jnp.where(bg_mask, 1.0, 0.0)
-                               - jax.random.uniform(k2, (P,)) * 0.5)  # bg first (stable-ish)
-        # deterministic bg list: indices where bg_mask, ordered arbitrarily
-        bg_list = jnp.argsort(~bg_mask)                     # bg indices first
+        # deterministic bg list (bg indices first); sampling WITH replacement
+        # below matches the reference's rand*N pick (:196-199)
+        bg_list = jnp.argsort(~bg_mask)
 
         # number of fg sampled (reference :180-218)
         both = (n_fg_avail > 0) & (n_bg_avail > 0)

@@ -142,6 +142,8 @@ class FeaturesReader:
                 obj_atts = native.unpack_obj_atts(self._h5["obj_atts"][idx])
             if obj_atts is not None and len(obj_atts) != num_boxes:
                 obj_atts = [[0, []]] * num_boxes  # readers.py:131-134
-        except Exception:
+        except KeyError:
+            # missing dataset/id → None, matching the reference's defaulting
+            # (readers.py:128-137); malformed streams still raise.
             pass
         return feats.reshape(num_boxes, -1), obj_atts

@@ -240,3 +240,46 @@ def test_noise_threading_deterministic_replay():
         end_index=cfg.boundary_index, noise=noise)
     np.testing.assert_array_equal(np.asarray(out1[0]), np.asarray(out2[0]))
     np.testing.assert_allclose(np.asarray(out1[1]), np.asarray(out2[1]), atol=1e-6)
+
+
+def test_trimmed_destination_tokens_stay_dead():
+    """A wordform whose only destination is a trimmed sub-state must remain
+    masked from the default transition (review finding): the fast path must
+    agree with the dense packed path."""
+    from style_seqcvae_tpu.data.vocabulary import BOUNDARY_TOKEN, UNK_TOKEN, Vocabulary
+    from style_seqcvae_tpu.decoding.fsm import FiniteStateMachineBuilder
+
+    vocab = Vocabulary([UNK_TOKEN, BOUNDARY_TOKEN, "a", "fire", "hydrant", "x"])
+    b = FiniteStateMachineBuilder(vocab, max_given_constraints=2,
+                                  max_words_per_constraint=2)
+    b.add_wordforms("fire", ["fire"])
+    b.add_wordforms("hydrant", ["hydrant"])
+    dense, used, _ = b.build(["fire hydrant"])
+    fire = vocab.get_token_index("fire")
+
+    # trim BELOW the first sub-state: "fire"'s destination disappears
+    S = 4
+    td = fsm_to_tables(dense[:S, :S])
+    ts, _, _ = b.build_tables(["fire hydrant"], num_states=S)
+    for t in (td, ts):
+        masked = {(int(t.exc_token[s, j]))
+                  for s in range(S) for j in range(t.exc_token.shape[1])
+                  if t.exc_valid[s, j] and int(t.exc_token[s, j]) == fire
+                  and s == 0}
+        assert fire in masked, "fire must be a (mask-only) exception of state 0"
+        dests = {int(t.exc_dest[0, j])
+                 for j in range(t.exc_token.shape[1])
+                 if t.exc_valid[0, j] and int(t.exc_token[0, j]) == fire}
+        assert dests == {-1}, f"dead token must have unreachable dest, got {dests}"
+
+    # decode: from state 0, "fire" must never be a candidate anywhere
+    table = make_logprob_table(vocab.get_vocab_size(), 0)
+    table[:, fire] = 0.0  # make it maximally attractive
+    table = table - np.log(np.exp(table).sum(-1, keepdims=True))
+    step = table_step(table)
+    tables = stack_fsm_tables([ts])
+    seqs, lp = constrained_beam_search_fast(
+        step, jnp.asarray([0]), {"d": jnp.zeros((1,))}, tables,
+        jax.random.PRNGKey(0), max_steps=5, beam_size=2, end_index=END)
+    # state-0 beams (reachable) must not contain "fire"
+    assert fire not in set(np.asarray(seqs)[0, 0].reshape(-1).tolist())
