@@ -99,11 +99,23 @@ def _backbone(params, cfg: DetectorConfig, images):
     return resnet.backbone(params["resnet"], images)
 
 
-def _pool_rois(params, cfg: DetectorConfig, base_feat, rois_flat):
+def _pool_rois(params, cfg: DetectorConfig, base_feat, rois_flat,
+               inference: bool = False):
     if cfg.pooling_mode == "align":
-        pooled = roi_align(base_feat, rois_flat, spatial_scale=1.0 / cfg.feat_stride,
-                           pooled_height=cfg.pooling_size, pooled_width=cfg.pooling_size,
-                           sampling_ratio=2)
+        if inference and jax.default_backend() == "tpu":
+            # forward-only Pallas kernel (exact; no vjp — training uses the
+            # differentiable XLA gather)
+            from style_seqcvae_tpu.ops.pallas.roi_align import roi_align_pallas
+
+            pooled = roi_align_pallas(
+                base_feat, rois_flat, spatial_scale=1.0 / cfg.feat_stride,
+                pooled_height=cfg.pooling_size, pooled_width=cfg.pooling_size,
+                sampling_ratio=2)
+        else:
+            pooled = roi_align(base_feat, rois_flat,
+                               spatial_scale=1.0 / cfg.feat_stride,
+                               pooled_height=cfg.pooling_size,
+                               pooled_width=cfg.pooling_size, sampling_ratio=2)
     else:
         pooled = roi_pool(base_feat, rois_flat, spatial_scale=1.0 / cfg.feat_stride,
                           pooled_height=cfg.pooling_size, pooled_width=cfg.pooling_size)
@@ -219,7 +231,8 @@ def detector_forward_test(params, cfg: DetectorConfig, images, im_info,
         nms_thresh=nms_thresh)
 
     P = rois.shape[1]
-    pooled_feat = _pool_rois(params, cfg, base_feat, rois.reshape(B * P, 5))
+    pooled_feat = _pool_rois(params, cfg, base_feat, rois.reshape(B * P, 5),
+                             inference=True)
     cls_prob = jax.nn.softmax(_linear(params["cls_score"], pooled_feat), axis=-1)
     bbox_pred = _linear(params["bbox_pred"], pooled_feat)
     out = {
