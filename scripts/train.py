@@ -122,19 +122,29 @@ def main():
     batches = dataset.batches(_C.OPTIM.BATCH_SIZE,
                               rng=random.Random(_C.RANDOM_SEED))
 
+    def staged_batches():
+        # host collation + device staging run ahead of the training loop:
+        # host->device transfers are expensive (especially over the axon
+        # tunnel), so overlap them with device compute via a producer thread
+        for batch in batches:
+            model_batch = {
+                "image_features": batch["image_features"],
+                "caption_tokens": batch["caption_tokens"],
+                "sentiment": batch["sentiment"],
+            }
+            if latent_dict is not None and batch["obj_atts"] is not None:
+                model_batch["obj_att_embeds"] = latent_dict.translate_obj_atts(
+                    batch["obj_atts"], _C.DATA.MAX_BOXES)
+            yield shard_batch(mesh, model_batch)
+
+    from style_seqcvae_tpu.data.prefetch import prefetch
+
+    staged = prefetch(staged_batches(), buffer_size=2)
+
     with jax.sharding.set_mesh(mesh):
         for iteration in range(start_iteration, num_iterations + 1):
             with timer.phase("data"):
-                batch = next(batches)
-                model_batch = {
-                    "image_features": batch["image_features"],
-                    "caption_tokens": batch["caption_tokens"],
-                    "sentiment": batch["sentiment"],
-                }
-                if latent_dict is not None and batch["obj_atts"] is not None:
-                    model_batch["obj_att_embeds"] = latent_dict.translate_obj_atts(
-                        batch["obj_atts"], _C.DATA.MAX_BOXES)
-                model_batch = shard_batch(mesh, model_batch)
+                model_batch = next(staged)
             with timer.phase("step"):
                 state, metrics = train_step(state, model_batch)
             if iteration % _C.PRINT_EVERY_N_BATCHES == 0:
