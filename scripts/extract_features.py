@@ -41,7 +41,8 @@ def main():
 
     from style_seqcvae_tpu.config import Config
     from style_seqcvae_tpu.data.detection import (
-        CocoDetectionDataset, load_image_bgr, make_batch, prepare_image_np)
+        CocoDetectionDataset, canvas_for, load_image_bgr, make_batch,
+        prepare_image_np)
     from style_seqcvae_tpu.models.detector.extract import (
         decode_boxes, extraction_row, select_detections)
     from style_seqcvae_tpu.models.detector.faster_rcnn import (
@@ -96,7 +97,7 @@ def main():
                          np.zeros((0,), np.uint8), np.zeros((0,), np.float32))
             continue
         img, scale = prepare_image_np(img, D.TEST.SCALES[0], D.TEST.MAX_SIZE)
-        batch = make_batch([rec], [img], [scale], tuple(_A.canvas),
+        batch = make_batch([rec], [img], [scale], canvas_for(rec, tuple(_A.canvas)),
                            D.MAX_NUM_GT_BOXES, max(dataset.n_attribs, 1))
         out = fwd(params, jnp.asarray(batch["images"]), jnp.asarray(batch["im_info"]))
         rois = np.asarray(out["rois"])[0]

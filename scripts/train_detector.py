@@ -39,8 +39,8 @@ def main():
 
     from style_seqcvae_tpu.config import Config
     from style_seqcvae_tpu.data.detection import (
-        CocoDetectionDataset, flip_record, load_image_bgr, make_batch,
-        prepare_image_np)
+        CocoDetectionDataset, canvas_for, flip_record, load_image_bgr,
+        make_batch, prepare_image_np)
     from style_seqcvae_tpu.models.detector.faster_rcnn import (
         DetectorConfig, detector_forward_train, init_detector)
     from style_seqcvae_tpu.models.detector.rpn import RPNConfig
@@ -124,7 +124,7 @@ def main():
             if D.TRAIN.USE_FLIPPED and random.random() < 0.5:
                 rec, img = flip_record(rec, img)
             img, scale = prepare_image_np(img, D.TRAIN.SCALES[0], D.TRAIN.MAX_SIZE)
-            batch = make_batch([rec], [img], [scale], tuple(_A.canvas),
+            batch = make_batch([rec], [img], [scale], canvas_for(rec, tuple(_A.canvas)),
                                D.MAX_NUM_GT_BOXES, max(dataset.n_attribs, 1))
             batch["att_counts"] = att_counts
             key, k = jax.random.split(key)

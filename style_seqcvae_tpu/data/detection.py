@@ -155,6 +155,21 @@ def flip_record(record: Dict[str, Any], img: np.ndarray
     return out, img[:, ::-1].copy()
 
 
+def canvas_for(record: Dict[str, Any], canvas_hw: Tuple[int, int]
+               ) -> Tuple[int, int]:
+    """Aspect-aware canvas: portrait images get the transposed canvas so
+    padding waste stays low — the fixed-shape analogue of the reference's
+    aspect-ratio-grouped batching (roibatchLoader.py:100-237). Two canvas
+    variants → at most two XLA program specializations."""
+    h, w = record.get("height", 0), record.get("width", 0)
+    ch, cw = canvas_hw
+    if h > w and ch < cw:
+        return (cw, ch)
+    if w >= h and ch > cw:
+        return (cw, ch)
+    return canvas_hw
+
+
 def make_batch(records: List[Dict[str, Any]], images: List[np.ndarray],
                scales: List[float], canvas_hw: Tuple[int, int],
                max_gt: int, n_attribs: int) -> Dict[str, np.ndarray]:

@@ -60,3 +60,56 @@ def test_dump_roundtrip(tmp_path):
     C.dump(p)
     C2 = Config(p)
     assert C2.MODEL.Z_SPACE == 77
+
+
+def test_every_reference_captioner_key_exists_with_same_default():
+    """Exhaustive key+default parity with the reference yacs tree
+    (updown-baseline/updown/config.py:8-104), transcribed below."""
+    REF = {
+        "LOG_TO_FILE": True, "CHECKPOINT_EVERY_N_EPOCHS": 10,
+        "PRINT_EVERY_N_BATCHES": 100, "RANDOM_SEED": 0,
+        "DATA.VOCABULARY": "data/vocabulary",
+        "DATA.TRAIN_FEATURES": "data/coco_train2017_vg_detector_features_adaptive.h5",
+        "DATA.INFER_FEATURES": "data/nocaps_val_vg_detector_features_adaptive.h5",
+        "DATA.TRAIN_CAPTIONS": "data/coco/captions_train2017.json",
+        "DATA.INFER_CAPTIONS": "data/nocaps/nocaps_val_image_info.json",
+        "DATA.SENTICAP_CAPTIONS": "", "DATA.DO_LOAD_COCO": True,
+        "DATA.DO_LOAD_SENTICAP": False, "DATA.SENTICAP_SENTIMENT": "",
+        "DATA.EXPERT_CAPTIONS": "", "DATA.COCO_ATTRIBS_OBJS": "",
+        "DATA.REMOVE_SAMPLES_WITHOUT_ATTRIBS": False,
+        "DATA.USE_OBJ_ATT_PREDS": False, "DATA.ATT_PRED_THRESH": 0.3,
+        "DATA.MAX_CAPTION_LENGTH": 20,
+        "DATA.CBS.INFER_BOXES": "data/nocaps_val_oi_detector_boxes.json",
+        "DATA.CBS.CLASS_HIERARCHY": "data/cbs/class_hierarchy.json",
+        "DATA.CBS.WORDFORMS": "", "DATA.CBS.WORDFORMS_ATTRIBS": "",
+        "DATA.CBS.NMS_THRESHOLD": 0.85, "DATA.CBS.MAX_GIVEN_OBJECTS": 2,
+        "DATA.CBS.MAX_GIVEN_CONSTRAINTS": 3,
+        "DATA.CBS.MAX_WORDS_PER_CONSTRAINT": 3,
+        "MODEL.IMAGE_FEATURE_SIZE": 2048, "MODEL.EMBEDDING_SIZE": 1000,
+        "MODEL.HIDDEN_SIZE": 1200, "MODEL.ATTENTION_PROJECTION_SIZE": 768,
+        "MODEL.BEAM_SIZE": 5, "MODEL.USE_CBS": False, "MODEL.CBS_SIMPLE": True,
+        "MODEL.MIN_CONSTRAINTS_TO_SATISFY": 2, "MODEL.PRIOR_MODE": "AG",
+        "MODEL.DO_USE_CLUSTER_VECTOR": True, "MODEL.FC_LAYER_PER_ATTRIB": True,
+        "MODEL.NUM_LSTM_LAYERS": 1, "MODEL.LSTM_DROPOUT": 0.1,
+        "MODEL.Z_SPACE": 150, "MODEL.SENTIMENT_VAE": 0,
+        "MODEL.SENTI_PRIOR_MULTIP": 1.0, "MODEL.LATENT_EMBEDDING_MULTIP": 1.0,
+        "MODEL.KLD_WEIGHT": 750, "MODEL.N_Z_SAMPLES": 0,
+        "MODEL.STATE_MACHINE_PER_Z_SAMPLE": False,
+        "MODEL.LATENT_EMBEDDING": "glove", "MODEL.PRIOR_STD": 1.0,
+        "MODEL.SIMPLE_VAE": True, "MODEL.DO_USE_KLD_ANNEALING": False,
+        "MODEL.KLD_DECREASING": False, "MODEL.KLD_INITIAL_WEIGHT": 2.0,
+        "MODEL.KLD_ANNEALING_PER_EPOCH": 0.25,
+        "MODEL.KLD_N_EPOCHS_BEFORE_RESET": 4,
+        "OPTIM.BATCH_SIZE": 150, "OPTIM.NUM_ITERATIONS": 70000,
+        "OPTIM.LR": 0.015, "OPTIM.MOMENTUM": 0.9, "OPTIM.LR_DECAY_EVERY_N": 7,
+        "OPTIM.LR_DECAY": 0.5, "OPTIM.LR_DECAY_START_EPOCH": 10,
+        "OPTIM.WEIGHT_DECAY": 0.001, "OPTIM.CLIP_GRADIENTS": 12.5,
+        "OPTIM.EPOCH_START_DECODER_TRAINING": 40000,
+        "OPTIM.BEFORE_UPDATE_DECODER_EVERY": 30,
+    }
+    C = Config()
+    for path, want in REF.items():
+        node = C
+        for p in path.split("."):
+            node = getattr(node, p)
+        assert node == want, f"{path}: {node!r} != reference {want!r}"

@@ -164,3 +164,14 @@ def test_latent_dictionary(tmp_path):
     swn.write_text(json.dumps({"nice": [0.8, 0.1, 0.1]}))
     ld2 = LatentDictionary.from_swn_scores(str(swn), z_space=5)
     np.testing.assert_allclose(ld2.mean_choice["nice"], np.repeat(0.7, 5), atol=1e-6)
+
+
+def test_canvas_for_aspect():
+    from style_seqcvae_tpu.data.detection import canvas_for
+
+    landscape = {"height": 480, "width": 640}
+    portrait = {"height": 640, "width": 480}
+    assert canvas_for(landscape, (640, 1024)) == (640, 1024)
+    assert canvas_for(portrait, (640, 1024)) == (1024, 640)
+    assert canvas_for(portrait, (1024, 640)) == (1024, 640)
+    assert canvas_for(landscape, (1024, 640)) == (640, 1024)
