@@ -100,12 +100,21 @@ def proposal_layer(cls_logits, bbox_deltas, all_anchors, im_info, *,
             keep_idx, _ = nms_pallas(props, scs, nms_thresh, max_out=post_nms_top_n)
         else:
             keep_idx, _ = nms(props, scs, nms_thresh, max_out=post_nms_top_n)
+        if keep_idx.shape[0] < post_nms_top_n:
+            # fewer candidates than the post-NMS budget (pre < post): pad
+            # with -1 rows, matching the reference's zero-padded proposals
+            keep_idx = jnp.pad(keep_idx, (0, post_nms_top_n - keep_idx.shape[0]),
+                               constant_values=-1)
         valid = keep_idx >= 0
         safe = jnp.clip(keep_idx, 0, k - 1)
         out_boxes = jnp.where(valid[:, None], props[safe], 0.0)
         out_scores = jnp.where(valid, scs[safe], 0.0)
         return out_boxes, out_scores, valid
 
+    # The reference detaches proposals (rpn.py:74-75 passes .data) — detach
+    # BEFORE NMS so the Pallas kernel never sees tangents (no JVP rule).
+    top_props = jax.lax.stop_gradient(top_props)
+    top_scores = jax.lax.stop_gradient(top_scores)
     boxes, out_scores, valid = jax.vmap(per_image)(top_props, top_scores)
     batch_col = jnp.broadcast_to(
         jnp.arange(B, dtype=boxes.dtype)[:, None, None], (B, post_nms_top_n, 1))

@@ -23,29 +23,33 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 ROW_BLOCK = 128
+COL_BLOCK = 1024
 
 
-def _bitmask_kernel(boxes_ref, out_ref, *, n_boxes: int, threshold: float):
-    """Grid over row blocks: rows (128, 4) vs all boxes → packed bits
-    (128, N/32)."""
+def _bitmask_kernel(rows_ref, cols_ref, out_ref, *, threshold: float,
+                    col_block: int):
+    """2-D grid over (row, col) tiles — nothing full-N ever sits in VMEM,
+    so the kernel scales to RPN candidate counts (6k-31k boxes)."""
     i = pl.program_id(0)
-    rows = boxes_ref[pl.ds(i * ROW_BLOCK, ROW_BLOCK), :]      # (128, 4)
-    allb = boxes_ref[:]                                       # (N, 4)
+    j = pl.program_id(1)
+    rows = rows_ref[:]                                        # (128, 4)
+    cols = cols_ref[:]                                        # (COL_BLOCK, 4)
 
     rx1, ry1, rx2, ry2 = rows[:, 0:1], rows[:, 1:2], rows[:, 2:3], rows[:, 3:4]
-    ax1, ay1, ax2, ay2 = allb[:, 0], allb[:, 1], allb[:, 2], allb[:, 3]
+    ax1, ay1, ax2, ay2 = cols[:, 0], cols[:, 1], cols[:, 2], cols[:, 3]
     r_area = (rx2 - rx1 + 1.0) * (ry2 - ry1 + 1.0)            # (128, 1)
-    a_area = (ax2 - ax1 + 1.0) * (ay2 - ay1 + 1.0)            # (N,)
+    a_area = (ax2 - ax1 + 1.0) * (ay2 - ay1 + 1.0)            # (COL_BLOCK,)
 
     w = jnp.minimum(rx2, ax2[None, :]) - jnp.maximum(rx1, ax1[None, :]) + 1.0
     h = jnp.minimum(ry2, ay2[None, :]) - jnp.maximum(ry1, ay1[None, :]) + 1.0
-    inter = jnp.maximum(w, 0.0) * jnp.maximum(h, 0.0)         # (128, N)
+    inter = jnp.maximum(w, 0.0) * jnp.maximum(h, 0.0)         # (128, COL_BLOCK)
     iou = inter / (r_area + a_area[None, :] - inter)
 
-    # suppress only later (lower-score) boxes: col > row
-    row_ids = (jax.lax.broadcasted_iota(jnp.int32, (ROW_BLOCK, n_boxes), 0)
+    # suppress only later (lower-score) boxes: global col > global row
+    row_ids = (jax.lax.broadcasted_iota(jnp.int32, (ROW_BLOCK, col_block), 0)
                + i * ROW_BLOCK)
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (ROW_BLOCK, n_boxes), 1)
+    col_ids = (jax.lax.broadcasted_iota(jnp.int32, (ROW_BLOCK, col_block), 1)
+               + j * col_block)
     bits = (iou > threshold) & (col_ids > row_ids)
 
     out_ref[:] = bits.astype(jnp.int8)
@@ -61,15 +65,21 @@ def suppression_bitmask(boxes_sorted: jnp.ndarray, threshold: float,
     reshapes inside Mosaic are restricted)."""
     n = boxes_sorted.shape[0]
     assert n % ROW_BLOCK == 0 and n % 16 == 0
+    colb = min(COL_BLOCK, n)
+    assert n % colb == 0
+    mem = pl.ANY if interpret else pltpu.VMEM
     bits8 = pl.pallas_call(
-        partial(_bitmask_kernel, n_boxes=n, threshold=threshold),
+        partial(_bitmask_kernel, threshold=threshold, col_block=colb),
         out_shape=jax.ShapeDtypeStruct((n, n), jnp.int8),
-        grid=(n // ROW_BLOCK,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY if interpret else pltpu.VMEM)],
-        out_specs=pl.BlockSpec((ROW_BLOCK, n), lambda i: (i, 0),
-                               memory_space=pl.ANY if interpret else pltpu.VMEM),
+        grid=(n // ROW_BLOCK, n // colb),
+        in_specs=[
+            pl.BlockSpec((ROW_BLOCK, 4), lambda i, j: (i, 0), memory_space=mem),
+            pl.BlockSpec((colb, 4), lambda i, j: (j, 0), memory_space=mem),
+        ],
+        out_specs=pl.BlockSpec((ROW_BLOCK, colb), lambda i, j: (i, j),
+                               memory_space=mem),
         interpret=interpret,
-    )(boxes_sorted)
+    )(boxes_sorted, boxes_sorted)
     powers = (1 << jnp.arange(16, dtype=jnp.int32))
     return jnp.sum(bits8.reshape(n, n // 16, 16).astype(jnp.int32)
                    * powers[None, None, :], axis=-1)
@@ -104,7 +114,9 @@ def nms_pallas(boxes: jnp.ndarray, scores: jnp.ndarray, threshold: float,
     """Drop-in for ops.nms.nms: returns (keep_idx desc-score-sorted padded
     with -1, keep_mask (N,)). Pads N internally to a multiple of 128."""
     n = boxes.shape[0]
-    n_pad = -(-n // ROW_BLOCK) * ROW_BLOCK
+    # pad so both the 128-row and (for large n) 1024-col tiles divide n
+    pad_to = ROW_BLOCK if n <= COL_BLOCK else COL_BLOCK
+    n_pad = -(-n // pad_to) * pad_to
     order = jnp.argsort(-scores)
     sboxes = boxes[order]
     if n_pad != n:
