@@ -23,6 +23,9 @@ import numpy as np
 parser = argparse.ArgumentParser(description=__doc__)
 parser.add_argument("--config", required=True)
 parser.add_argument("--config-override", nargs="*", default=[])
+parser.add_argument("--model", choices=["cvae", "baseline"], default="cvae",
+                    help="cvae = Style-SeqCVAE (var_updown); baseline = "
+                         "non-variational UpDown (updown-baseline)")
 parser.add_argument("--serialization-dir", default="checkpoints/experiment")
 parser.add_argument("--checkpoint-every", type=int, default=10000)
 parser.add_argument("--start-from-checkpoint", default="")
@@ -52,7 +55,8 @@ def main():
         load_glove_embeddings)
     from style_seqcvae_tpu.parallel.mesh import make_mesh, shard_batch, shard_params
     from style_seqcvae_tpu.training.checkpointing import CheckpointManager
-    from style_seqcvae_tpu.training.trainer import create_train_state, make_train_step
+    from style_seqcvae_tpu.training.trainer import (
+        create_train_state, make_baseline_train_step, make_train_step)
     from style_seqcvae_tpu.utils.logging import MetricsWriter, StepTimer, device_sync
     import jax.numpy as jnp
 
@@ -101,13 +105,21 @@ def main():
             latent_dict = LatentDictionary.from_swn_scores(
                 _C.DATA.SWN_SCORES, model_cfg.z_space, model_cfg.latent_embedding_multip)
 
-    params = init_captioner(root_key, model_cfg, embedding_table)
+    if _A.model == "baseline":
+        from style_seqcvae_tpu.models.baseline import init_baseline
+
+        params = init_baseline(root_key, model_cfg, embedding_table)
+    else:
+        params = init_captioner(root_key, model_cfg, embedding_table)
 
     mesh = make_mesh(_A.num_data, _A.num_model)
     params = shard_params(mesh, params)
     state, tx = create_train_state(params, _C, model_cfg, jax.random.PRNGKey(
         _C.RANDOM_SEED + 1))
-    train_step = make_train_step(tx, model_cfg, _C.MODEL.KLD_WEIGHT)
+    if _A.model == "baseline":
+        train_step = make_baseline_train_step(tx, model_cfg)
+    else:
+        train_step = make_train_step(tx, model_cfg, _C.MODEL.KLD_WEIGHT)
 
     ckpt = CheckpointManager(_A.serialization_dir, mode="max")
     start_iteration = 1

@@ -53,3 +53,30 @@ def make_train_step(tx, model_cfg: CaptionerConfig, kld_weight: float):
         return TrainState(new_params, new_opt_state, rng), metrics
 
     return jax.jit(train_step, donate_argnums=(0,))
+
+
+def make_baseline_train_step(tx, model_cfg: CaptionerConfig):
+    """Train step for the non-VAE UpDown baseline family
+    (updown-baseline/scripts/train.py:118-146: plain masked-CE loss, same
+    SGD/clip/decay chain; no KLD term, no decoder-freeze schedule — the
+    label fn marks every baseline param "always"). Same (state, batch) →
+    (state, metrics) contract as ``make_train_step`` so train CLIs and
+    checkpointing are shared."""
+    from style_seqcvae_tpu.models.baseline import baseline_train_forward
+
+    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
+        rng, _ = jax.random.split(state.rng)  # keep the rng stream contract
+
+        def loss_fn(params):
+            out = baseline_train_forward(params, model_cfg, batch)
+            return jnp.mean(out["loss"])
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = jax.tree_util.tree_map(lambda p, u: p + u,
+                                            state.params, updates)
+        metrics = {"loss": loss, "reconstr_loss": loss,
+                   "kld_loss": jnp.zeros_like(loss)}
+        return TrainState(new_params, new_opt_state, rng), metrics
+
+    return jax.jit(train_step, donate_argnums=(0,))

@@ -107,3 +107,30 @@ def test_baseline_train_and_greedy_decode():
                            init_baseline_state((B,), H), jax.random.PRNGKey(99),
                            max_steps=6, beam_size=3, end_index=CFG.boundary_index)
     np.testing.assert_array_equal(np.asarray(seqs), np.asarray(seqs2))
+
+
+def test_baseline_train_step_converges():
+    """make_baseline_train_step drives loss down with the shared SGD chain
+    (updown-baseline/scripts/train.py:118-146 loop semantics: CE only,
+    kld metric pinned at 0)."""
+    from style_seqcvae_tpu.config import Config
+    from style_seqcvae_tpu.training.trainer import (
+        create_train_state, make_baseline_train_step)
+
+    rng = np.random.RandomState(2)
+    params = init_baseline(jax.random.PRNGKey(3), CFG)
+    config = Config(config_override=[
+        "OPTIM.LR", "0.1", "OPTIM.NUM_ITERATIONS", "200",
+        "OPTIM.CLIP_GRADIENTS", "12.5"])
+    state, tx = create_train_state(params, config, CFG, jax.random.PRNGKey(4))
+    step = make_baseline_train_step(tx, CFG)
+    batch = {
+        "image_features": jnp.asarray(rng.randn(B, N, F).astype(np.float32)),
+        "caption_tokens": jnp.asarray(rng.randint(2, V, (B, 5)).astype(np.int32)),
+    }
+    state, m0 = step(state, batch)
+    for _ in range(30):
+        state, m = step(state, batch)
+    assert float(m["kld_loss"]) == 0.0
+    assert float(m["loss"]) < 0.5 * float(m0["loss"])
+    assert int(state.step) == 31
