@@ -28,6 +28,9 @@ parser.add_argument("--output-path", required=True)
 parser.add_argument("--in-memory", action="store_true")
 parser.add_argument("--cpu", action="store_true")
 parser.add_argument("--max-images", type=int, default=0)
+parser.add_argument("--model", choices=["cvae", "baseline"], default="cvae",
+                    help="cvae = Style-SeqCVAE (var_updown); baseline = "
+                         "non-variational UpDown (updown-baseline)")
 
 
 def main():
@@ -73,7 +76,12 @@ def main():
     emb = (hashed_random_embeddings(tokens, model_cfg.embedding_size,
                                     model_cfg.pad_index)
            if model_cfg.tie_embeddings else None)
-    params = init_captioner(jax.random.PRNGKey(_C.RANDOM_SEED), model_cfg, emb)
+    if _A.model == "baseline":
+        from style_seqcvae_tpu.models.baseline import init_baseline
+
+        params = init_baseline(jax.random.PRNGKey(_C.RANDOM_SEED), model_cfg, emb)
+    else:
+        params = init_captioner(jax.random.PRNGKey(_C.RANDOM_SEED), model_cfg, emb)
 
     if _A.checkpoint_path:
         ckpt = CheckpointManager(_A.checkpoint_path)
@@ -93,8 +101,9 @@ def main():
                 _C.DATA.SWN_SCORES, model_cfg.z_space,
                 model_cfg.latent_embedding_multip)
 
-    harness = DecodeHarness(params, model_cfg)
-    n_z = max(_C.MODEL.N_Z_SAMPLES, 1)
+    harness = DecodeHarness(params, model_cfg, family=_A.model)
+    # the baseline is deterministic — z-samples would all be identical
+    n_z = 1 if _A.model == "baseline" else max(_C.MODEL.N_Z_SAMPLES, 1)
     key = jax.random.PRNGKey(_C.RANDOM_SEED + 7)
 
     predictions = []

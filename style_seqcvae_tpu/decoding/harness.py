@@ -64,23 +64,42 @@ def pad_tables(tables: List[FSMTables], n_z: int) -> FSMTables:
 
 
 class DecodeHarness:
-    def __init__(self, params, cfg: CaptionerConfig):
+    def __init__(self, params, cfg: CaptionerConfig, family: str = "cvae"):
+        """family: "cvae" (Style-SeqCVAE, z-sampled) or "baseline" (the
+        non-variational UpDown — deterministic, so every z-sample is
+        identical; callers should pass n_z=1)."""
+        assert family in ("cvae", "baseline")
         self.params = params
         self.cfg = cfg
+        self.family = family
         self._jit_cbs = jax.jit(self._decode_cbs_impl,
                                 static_argnames=("n_z", "return_all"))
         self._jit_beam = jax.jit(self._decode_beam_impl, static_argnames=("n_z",))
+
+    def _step_and_state(self, params, feats, sentiment, obj_att_embeds):
+        """(step_fn, init_state, start_tokens) for the configured family."""
+        cfg = self.cfg
+        B = feats.shape[0]
+        start = jnp.full((B,), cfg.boundary_index)
+        if self.family == "baseline":
+            from style_seqcvae_tpu.models.baseline import (
+                init_baseline_state, make_baseline_step_fn)
+
+            step = make_baseline_step_fn(params, cfg, feats)
+            return step, init_baseline_state((B,), cfg.hidden_size,
+                                             feats.dtype), start
+        ctx = make_decode_context(params, cfg, feats, sentiment=sentiment,
+                                  obj_att_embeds=obj_att_embeds)
+        step = make_step_fn(params, cfg, ctx)
+        return step, init_cell_state((B,), cfg.hidden_size, feats.dtype), start
 
     # ---------------- CBS path ----------------
     def _decode_cbs_impl(self, params, feats, sentiment, obj_att_embeds,
                          tables: FSMTables, num_constraints, key, *,
                          n_z: int, return_all: bool):
         cfg = self.cfg
-        ctx = make_decode_context(params, cfg, feats, sentiment=sentiment,
-                                  obj_att_embeds=obj_att_embeds)
-        step = make_step_fn(params, cfg, ctx)
-        init_state = init_cell_state((feats.shape[0],), cfg.hidden_size, feats.dtype)
-        start = jnp.full((feats.shape[0],), cfg.boundary_index)
+        step, init_state, start = self._step_and_state(
+            params, feats, sentiment, obj_att_embeds)
 
         def one_z(z_key, fsm_z):
             seqs, lp = constrained_beam_search_fast(
@@ -115,11 +134,8 @@ class DecodeHarness:
     def _decode_beam_impl(self, params, feats, sentiment, obj_att_embeds, key,
                           *, n_z: int):
         cfg = self.cfg
-        ctx = make_decode_context(params, cfg, feats, sentiment=sentiment,
-                                  obj_att_embeds=obj_att_embeds)
-        step = make_step_fn(params, cfg, ctx)
-        init_state = init_cell_state((feats.shape[0],), cfg.hidden_size, feats.dtype)
-        start = jnp.full((feats.shape[0],), cfg.boundary_index)
+        step, init_state, start = self._step_and_state(
+            params, feats, sentiment, obj_att_embeds)
 
         def one_z(z_key):
             seqs, lp = beam_search(

@@ -134,3 +134,40 @@ def test_baseline_train_step_converges():
     assert float(m["kld_loss"]) == 0.0
     assert float(m["loss"]) < 0.5 * float(m0["loss"])
     assert int(state.step) == 31
+
+
+def test_baseline_harness_cbs_and_beam():
+    """DecodeHarness(family="baseline"): CBS decode satisfies constraints
+    and is fully deterministic (no z — different keys, same captions)."""
+    from style_seqcvae_tpu.data.vocabulary import (
+        BOUNDARY_TOKEN, UNK_TOKEN, Vocabulary)
+    from style_seqcvae_tpu.decoding.fsm import FiniteStateMachineBuilder
+    from style_seqcvae_tpu.decoding.harness import DecodeHarness, detokenize
+
+    vocab = Vocabulary([UNK_TOKEN, BOUNDARY_TOKEN, "a", "dog", "cat", "runs",
+                        "sits", "red", "blue", "park"])
+    cfg = CaptionerConfig(vocab_size=vocab.get_vocab_size(),
+                          image_feature_size=F, embedding_size=E,
+                          hidden_size=H, attention_projection_size=P,
+                          max_caption_length=7, beam_size=4)
+    params = init_baseline(jax.random.PRNGKey(5), cfg)
+    feats = jnp.asarray(np.random.RandomState(6).randn(1, N, F).astype(np.float32))
+
+    builder = FiniteStateMachineBuilder(vocab, max_given_constraints=2,
+                                        max_words_per_constraint=1)
+    builder.add_wordforms("dog", ["dog"])
+    builder.add_wordforms("red", ["red"])
+    tables, _, _ = builder.build_tables(["dog", "red"])
+    harness = DecodeHarness(params, cfg, family="baseline")
+
+    best1, _ = harness.decode_cbs(feats, None, None, [tables],
+                                  np.asarray([2]), jax.random.PRNGKey(1), n_z=1)
+    best2, _ = harness.decode_cbs(feats, None, None, [tables],
+                                  np.asarray([2]), jax.random.PRNGKey(99), n_z=1)
+    np.testing.assert_array_equal(np.asarray(best1), np.asarray(best2))
+    cap = detokenize(best1[0, 0], vocab, cfg.boundary_index)
+    assert "dog" in cap and "red" in cap, cap
+
+    toks1, _ = harness.decode_beam(feats, None, None, jax.random.PRNGKey(2), n_z=1)
+    toks2, _ = harness.decode_beam(feats, None, None, jax.random.PRNGKey(3), n_z=1)
+    np.testing.assert_array_equal(np.asarray(toks1), np.asarray(toks2))
