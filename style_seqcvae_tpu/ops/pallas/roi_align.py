@@ -60,13 +60,14 @@ def _kernel(batch_idx_ref, rois_ref, feat_ref, out_ref, *,
     inv = 1.0 / (sampling * sampling)
     for ph in range(pooled):          # static unroll: 7×7×S×S samples
         for pw in range(pooled):
-            acc = jnp.zeros_like(feat_ref[0, 0, 0, :])
+            acc = jnp.zeros(feat_ref.shape[-1:], jnp.float32)
             for iy in range(sampling):
                 for ix in range(sampling):
                     y = y1 + (ph + (iy + 0.5) / sampling) * bin_h
                     x = x1 + (pw + (ix + 0.5) / sampling) * bin_w
                     acc = acc + sample(y, x)
-            out_ref[0, ph, pw, :] = acc * inv
+            # accumulate in f32, store in the feature dtype (bf16 inference)
+            out_ref[0, ph, pw, :] = (acc * inv).astype(out_ref.dtype)
 
 
 def roi_align_pallas(features: jnp.ndarray, rois: jnp.ndarray, *,
@@ -75,6 +76,13 @@ def roi_align_pallas(features: jnp.ndarray, rois: jnp.ndarray, *,
                      interpret: bool = False) -> jnp.ndarray:
     """features (B, H, W, C) float32; rois (R, 5) → (R, PH, PW, C)."""
     assert pooled_height == pooled_width, "square pooling only"
+    # Mosaic restricts dynamic sublane indexing for 16-bit dtypes (the
+    # bilinear gathers use per-sample dynamic W offsets) — run the kernel in
+    # f32 and hand the caller back its dtype. The pooled map is tiny; the
+    # cast cost is negligible next to the backbone convs.
+    out_dtype = features.dtype
+    features = features.astype(jnp.float32)
+    rois = rois.astype(jnp.float32)
     B, H, W, C = features.shape
     R = rois.shape[0]
     batch_idx = rois[:, 0].astype(jnp.int32)
@@ -96,7 +104,7 @@ def roi_align_pallas(features: jnp.ndarray, rois: jnp.ndarray, *,
         partial(_kernel, spatial_scale=spatial_scale, pooled=pooled_height,
                 sampling=sampling_ratio, height=H, width=W),
         out_shape=jax.ShapeDtypeStruct((R, pooled_height, pooled_width, C),
-                                       features.dtype),
+                                       jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(batch_idx, rois, features)
+    )(batch_idx, rois, features).astype(out_dtype)
