@@ -9,6 +9,7 @@ score for scores > 0.3), plus ``image_id`` and ``num_boxes`` int scalars.
 
 from __future__ import annotations
 
+import os
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -106,6 +107,12 @@ class FeaturesReader:
     def __init__(self, features_h5path: str, in_memory: bool = False,
                  use_obj_att_preds: bool = False):
         assert h5py is not None, "h5py required for feature reading"
+        if not os.path.exists(features_h5path):
+            raise FileNotFoundError(
+                f"features file not found: {features_h5path!r} — check "
+                "DATA.TRAIN_FEATURES / DATA.INFER_FEATURES in your config "
+                "(both are opened at dataset construction, matching the "
+                "reference's reader layout)")
         self._h5 = h5py.File(features_h5path, "r")
         self.use_obj_att_preds = use_obj_att_preds
         ids = np.asarray(self._h5["image_id"])
