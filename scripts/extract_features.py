@@ -25,6 +25,9 @@ parser.add_argument("--detections-output", default="",
                          "(the reference's detections.pkl / "
                          "evaluate_detections path, test_net.py:560-567)")
 parser.add_argument("--canvas", type=int, nargs=2, default=[640, 1024])
+parser.add_argument("--batch-size", type=int, default=8,
+                    help="images per device dispatch (grouped by canvas "
+                         "orientation; amortizes per-dispatch latency)")
 parser.add_argument("--max-images", type=int, default=0)
 parser.add_argument("--thresh", type=float, default=0.5)
 parser.add_argument("--cpu", action="store_true")
@@ -85,49 +88,35 @@ def main():
         pre_nms_top_n=D.TEST.RPN_PRE_NMS_TOP_N,
         nms_thresh=D.TEST.RPN_NMS_THRESH))
 
-    skipped = 0
-    for i in range(n_images):
-        rec = dataset.record(i)
-        try:
-            img = load_image_bgr(rec["file_name"])
-        except Exception as e:  # reference skips failed items (test_net.py:313-318)
-            print(f"skip {rec['image_id']}: {e}")
-            skipped += 1
-            writer.write(i, rec["image_id"], np.zeros((1, 2048), np.float32),
-                         np.zeros((0,), np.uint8), np.zeros((0,), np.float32))
-            continue
-        img, scale = prepare_image_np(img, D.TEST.SCALES[0], D.TEST.MAX_SIZE)
-        batch = make_batch([rec], [img], [scale], canvas_for(rec, tuple(_A.canvas)),
-                           D.MAX_NUM_GT_BOXES, max(dataset.n_attribs, 1))
-        out = fwd(params, jnp.asarray(batch["images"]), jnp.asarray(batch["im_info"]))
-        rois = np.asarray(out["rois"])[0]
+    def postprocess_one(i, rec, batch, out, b, scale):
+        """Per-image host post: bbox decode, per-class NMS, packed row."""
+        rois = np.asarray(out["rois"])[b]
         pred_boxes = decode_boxes(
-            rois[:, 1:5], np.asarray(out["bbox_pred"])[0], batch["im_info"][0],
+            rois[:, 1:5], np.asarray(out["bbox_pred"])[b], batch["im_info"][b],
             D.TRAIN.BBOX_NORMALIZE_STDS, D.TRAIN.BBOX_NORMALIZE_MEANS,
             scale, dataset.num_classes)
 
         # GT label/attribute assignment for the packed GT stream: nearest GT
         # by IoU >= 0.5 (the reference gets these from the proposal-target
         # resampling in feat_extract mode; same information, no resampling)
-        gt = batch["gt_boxes"][0]
-        n_gt = int(batch["num_gt"][0])
+        gt = batch["gt_boxes"][b]
+        n_gt = int(batch["num_gt"][b])
         rois_label = None
         gt_att_rows = None
         if n_gt:
-            import jax.numpy as jnp2
-            ious = np.asarray(bbox_overlaps(jnp2.asarray(rois[:, 1:5]),
-                                            jnp2.asarray(gt[:n_gt, :4])))
+            ious = np.asarray(bbox_overlaps(jnp.asarray(rois[:, 1:5]),
+                                            jnp.asarray(gt[:n_gt, :4])))
             best = ious.argmax(axis=1)
             best_iou = ious.max(axis=1)
             rois_label = np.where(best_iou >= 0.5, gt[best, 4], 0).astype(np.int64)
             gt_att_rows = np.where(best_iou[:, None] >= 0.5,
-                                   batch["gt_atts"][0][best], 0.0)
+                                   batch["gt_atts"][b][best], 0.0)
 
-        scores_atts = (np.asarray(out["cls_prob_atts"])[0]
+        scores_atts = (np.asarray(out["cls_prob_atts"])[b]
                        if "cls_prob_atts" in out else None)
         selected = select_detections(
-            np.asarray(out["cls_prob"])[0], pred_boxes,
-            np.asarray(out["pooled_feat"])[0],
+            np.asarray(out["cls_prob"])[b], pred_boxes,
+            np.asarray(out["pooled_feat"])[b],
             scores_atts=scores_atts,
             rois_label=rois_label, gt_atts=gt_att_rows,
             thresh=_A.thresh, nms_thresh=D.TEST.NMS,
@@ -145,8 +134,51 @@ def main():
                     "category_id": int(class_to_cat[int(cls)]),
                     "bbox": [x1, y1, x2 - x1, y2 - y1],
                     "score": float(score)})
-        if (i + 1) % 20 == 0:
-            print(f"{i + 1}/{n_images} images")
+
+    bs = max(_A.batch_size, 1)
+    done = [0]
+
+    def flush(canvas, items):
+        """One device dispatch for up to ``bs`` same-canvas images; partial
+        buckets are padded by repeating the last image (keeps a single
+        compiled shape), padded outputs discarded."""
+        n_real = len(items)
+        while len(items) < bs:
+            items.append(items[-1])
+        recs = [it[1] for it in items]
+        batch = make_batch(recs, [it[2] for it in items], [it[3] for it in items],
+                           canvas, D.MAX_NUM_GT_BOXES, max(dataset.n_attribs, 1))
+        out = fwd(params, jnp.asarray(batch["images"]), jnp.asarray(batch["im_info"]))
+        # ONE device->host transfer per field; the per-image loop below would
+        # otherwise re-fetch the full batched arrays once per image
+        out = jax.tree_util.tree_map(np.asarray, out)
+        for b in range(n_real):
+            i, rec, _, scale = items[b]
+            postprocess_one(i, rec, batch, out, b, scale)
+        done[0] += n_real
+        if done[0] // 20 != (done[0] - n_real) // 20:
+            print(f"{done[0]}/{n_images} images")
+
+    # bucket by canvas orientation so every dispatch has one static shape
+    skipped = 0
+    buckets = {}
+    for i in range(n_images):
+        rec = dataset.record(i)
+        try:
+            img = load_image_bgr(rec["file_name"])
+        except Exception as e:  # reference skips failed items (test_net.py:313-318)
+            print(f"skip {rec['image_id']}: {e}")
+            skipped += 1
+            writer.write(i, rec["image_id"], np.zeros((1, 2048), np.float32),
+                         np.zeros((0,), np.uint8), np.zeros((0,), np.float32))
+            continue
+        img, scale = prepare_image_np(img, D.TEST.SCALES[0], D.TEST.MAX_SIZE)
+        canvas = canvas_for(rec, tuple(_A.canvas))
+        buckets.setdefault(canvas, []).append((i, rec, img, scale))
+        if len(buckets[canvas]) == bs:
+            flush(canvas, buckets.pop(canvas))
+    for canvas, items in sorted(buckets.items()):
+        flush(canvas, items)
     writer.close()
     print(f"wrote {n_images} rows ({skipped} skipped) to {_A.output}")
     if _A.detections_output:

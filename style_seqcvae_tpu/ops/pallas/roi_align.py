@@ -24,14 +24,17 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(batch_idx_ref, rois_ref, feat_ref, out_ref, *,
+def _kernel(batch_idx_ref, rois_flat_ref, feat_ref, out_ref, *,
             spatial_scale: float, pooled: int, sampling: int,
             height: int, width: int):
+    # rois ride in flat as a scalar-prefetch operand: SMEM windows pad each
+    # row to 512 B, so a 2-D (R, 5) window blows the 1 MB SMEM budget at
+    # batched-extraction R, while the flat (R*5,) form stays at 4 bytes/elem
     r = pl.program_id(0)
-    x1 = rois_ref[r, 1] * spatial_scale
-    y1 = rois_ref[r, 2] * spatial_scale
-    x2 = rois_ref[r, 3] * spatial_scale
-    y2 = rois_ref[r, 4] * spatial_scale
+    x1 = rois_flat_ref[5 * r + 1] * spatial_scale
+    y1 = rois_flat_ref[5 * r + 2] * spatial_scale
+    x2 = rois_flat_ref[5 * r + 3] * spatial_scale
+    y2 = rois_flat_ref[5 * r + 4] * spatial_scale
     roi_w = jnp.maximum(x2 - x1, 1.0)
     roi_h = jnp.maximum(y2 - y1, 1.0)
     bin_w = roi_w / pooled
@@ -88,16 +91,15 @@ def roi_align_pallas(features: jnp.ndarray, rois: jnp.ndarray, *,
     batch_idx = rois[:, 0].astype(jnp.int32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,            # batch_idx drives the index_map
+        num_scalar_prefetch=2,            # batch_idx (index_map) + flat rois
         grid=(R,),
         in_specs=[
-            # rois are scalar-read per program → SMEM
-            pl.BlockSpec(memory_space=pl.ANY if interpret else pltpu.SMEM),
-            pl.BlockSpec((1, H, W, C), lambda r, bidx: (bidx[r], 0, 0, 0),
+            pl.BlockSpec((1, H, W, C),
+                         lambda r, bidx, rflat: (bidx[r], 0, 0, 0),
                          memory_space=pl.ANY if interpret else pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, pooled_height, pooled_width, C),
-                               lambda r, bidx: (r, 0, 0, 0),
+                               lambda r, bidx, rflat: (r, 0, 0, 0),
                                memory_space=pl.ANY if interpret else pltpu.VMEM),
     )
     return pl.pallas_call(
@@ -107,4 +109,4 @@ def roi_align_pallas(features: jnp.ndarray, rois: jnp.ndarray, *,
                                        jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(batch_idx, rois, features).astype(out_dtype)
+    )(batch_idx, rois.reshape(-1), features).astype(out_dtype)
