@@ -25,6 +25,9 @@ parser.add_argument("--epochs", type=int, default=10)
 parser.add_argument("--steps-per-epoch", type=int, default=0,
                     help="0 = dataset length")
 parser.add_argument("--canvas", type=int, nargs=2, default=[640, 1024])
+parser.add_argument("--ims-per-batch", type=int, default=1,
+                    help="images per SGD step, grouped by canvas orientation "
+                         "(the reference trains res101 at 16, README.md:56-61)")
 parser.add_argument("--cpu", action="store_true")
 parser.add_argument("--seed", type=int, default=3)
 
@@ -87,10 +90,13 @@ def main():
 
     params = init_detector(jax.random.PRNGKey(_A.seed), det_cfg)
     steps_per_epoch = _A.steps_per_epoch or len(dataset)
+    # the LR schedule decays by EPOCH: with image batching an epoch is
+    # ceil(images / ims_per_batch) optimizer steps
+    opt_steps_per_epoch = -(-steps_per_epoch // max(_A.ims_per_batch, 1))
     tx = make_detector_optimizer(
         params, lr=D.TRAIN.LEARNING_RATE, momentum=D.TRAIN.MOMENTUM,
         weight_decay=D.TRAIN.WEIGHT_DECAY, double_bias=D.TRAIN.DOUBLE_BIAS,
-        bias_decay=D.TRAIN.BIAS_DECAY, steps_per_epoch=steps_per_epoch,
+        bias_decay=D.TRAIN.BIAS_DECAY, steps_per_epoch=opt_steps_per_epoch,
         lr_decay_step_epochs=4, gamma=D.TRAIN.GAMMA,
         clip_norm=D.TRAIN.CLIP_GRADIENTS)
     opt_state = tx.init(params)
@@ -114,8 +120,31 @@ def main():
     key = jax.random.PRNGKey(_A.seed + 1)
     order = list(range(len(dataset)))
     step_count = 0
+    ims = max(_A.ims_per_batch, 1)
+
+    def run_step(epoch, canvas, items):
+        """One SGD step over up to ``ims`` same-canvas images (partial
+        buckets at epoch end pad by repeating the last image to keep a
+        single compiled shape)."""
+        nonlocal params, opt_state, key, step_count
+        while len(items) < ims:
+            items.append(items[-1])
+        batch = make_batch([it[0] for it in items], [it[1] for it in items],
+                           [it[2] for it in items], canvas,
+                           D.MAX_NUM_GT_BOXES, max(dataset.n_attribs, 1))
+        batch["att_counts"] = att_counts
+        key, k = jax.random.split(key)
+        params, opt_state, losses = train_step(params, opt_state, batch, k)
+        step_count += 1
+        if step_count % D.TRAIN.DISPLAY == 0:
+            vals = {n: device_sync(v) for n, v in losses.items()}
+            writer.scalars(step_count, vals)
+            print(f"e{epoch} s{step_count}: " +
+                  " ".join(f"{n}={v:.4f}" for n, v in vals.items()))
+
     for epoch in range(1, _A.epochs + 1):
         random.shuffle(order)
+        buckets = {}
         for idx in order[:steps_per_epoch]:
             rec = dataset.record(idx)
             img = load_image_bgr(rec["file_name"])
@@ -124,17 +153,12 @@ def main():
             if D.TRAIN.USE_FLIPPED and random.random() < 0.5:
                 rec, img = flip_record(rec, img)
             img, scale = prepare_image_np(img, D.TRAIN.SCALES[0], D.TRAIN.MAX_SIZE)
-            batch = make_batch([rec], [img], [scale], canvas_for(rec, tuple(_A.canvas)),
-                               D.MAX_NUM_GT_BOXES, max(dataset.n_attribs, 1))
-            batch["att_counts"] = att_counts
-            key, k = jax.random.split(key)
-            params, opt_state, losses = train_step(params, opt_state, batch, k)
-            step_count += 1
-            if step_count % D.TRAIN.DISPLAY == 0:
-                vals = {n: device_sync(v) for n, v in losses.items()}
-                writer.scalars(step_count, vals)
-                print(f"e{epoch} s{step_count}: " +
-                      " ".join(f"{n}={v:.4f}" for n, v in vals.items()))
+            canvas = canvas_for(rec, tuple(_A.canvas))
+            buckets.setdefault(canvas, []).append((rec, img, scale))
+            if len(buckets[canvas]) == ims:
+                run_step(epoch, canvas, buckets.pop(canvas))
+        for canvas, items in sorted(buckets.items()):
+            run_step(epoch, canvas, items)
         ckpt.save({"params": params, "opt_state": opt_state}, f"detector_epoch_{epoch}")
     print("done.")
 
