@@ -28,6 +28,9 @@ parser.add_argument("--canvas", type=int, nargs=2, default=[640, 1024])
 parser.add_argument("--ims-per-batch", type=int, default=1,
                     help="images per SGD step, grouped by canvas orientation "
                          "(the reference trains res101 at 16, README.md:56-61)")
+parser.add_argument("--num-data", type=int, default=1,
+                    help="data-parallel mesh size; shards --ims-per-batch "
+                         "over chips (-1 = all devices)")
 parser.add_argument("--cpu", action="store_true")
 parser.add_argument("--seed", type=int, default=3)
 
@@ -121,6 +124,21 @@ def main():
     order = list(range(len(dataset)))
     step_count = 0
     ims = max(_A.ims_per_batch, 1)
+    mesh = None
+    if _A.num_data != 1:
+        from style_seqcvae_tpu.parallel.mesh import make_mesh, shard_detector_batch
+
+        mesh = make_mesh(_A.num_data, 1)
+        n_data = mesh.shape["data"]
+        assert ims % n_data == 0, (
+            f"--ims-per-batch {ims} must be divisible by the data-mesh "
+            f"size {n_data}")
+        params = jax.device_put(
+            params, jax.sharding.NamedSharding(
+                mesh, jax.sharding.PartitionSpec()))
+        opt_state = jax.device_put(
+            opt_state, jax.sharding.NamedSharding(
+                mesh, jax.sharding.PartitionSpec()))
 
     def run_step(epoch, canvas, items):
         """One SGD step over up to ``ims`` same-canvas images (partial
@@ -133,6 +151,8 @@ def main():
                            [it[2] for it in items], canvas,
                            D.MAX_NUM_GT_BOXES, max(dataset.n_attribs, 1))
         batch["att_counts"] = att_counts
+        if mesh is not None:
+            batch = shard_detector_batch(mesh, batch)
         key, k = jax.random.split(key)
         params, opt_state, losses = train_step(params, opt_state, batch, k)
         step_count += 1

@@ -61,6 +61,26 @@ def shard_batch(mesh: Mesh, batch):
     return jax.tree_util.tree_map(put, batch)
 
 
+# fields of the detector batch that are NOT batch-leading (replicated)
+_DETECTOR_REPLICATED = ("att_counts",)
+
+
+def shard_detector_batch(mesh: Mesh, batch):
+    """Detector batches mix batch-leading arrays (images, gt_boxes, …) with
+    global ones (att_counts, the per-class attribute frequencies) — shard
+    the former over ``data``, replicate the latter."""
+    out = {}
+    for k, v in batch.items():
+        if v is None:
+            out[k] = None
+            continue
+        v = jnp.asarray(v)
+        spec = (P() if k in _DETECTOR_REPLICATED or v.ndim == 0
+                else P(DATA_AXIS))
+        out[k] = jax.device_put(v, NamedSharding(mesh, spec))
+    return out
+
+
 def param_sharding(mesh: Mesh, params, shard_params_over_data: bool = False):
     """Sharding pytree for the captioner parameters.
 
