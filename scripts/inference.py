@@ -31,6 +31,10 @@ parser.add_argument("--max-images", type=int, default=0)
 parser.add_argument("--model", choices=["cvae", "baseline"], default="cvae",
                     help="cvae = Style-SeqCVAE (var_updown); baseline = "
                          "non-variational UpDown (updown-baseline)")
+parser.add_argument("--batch-images", type=int, default=1,
+                    help="images per device dispatch (the reference decodes "
+                         "strictly one at a time, inference.py:95; batching "
+                         "amortizes dispatch latency and fills the MXU)")
 
 
 def main():
@@ -109,31 +113,35 @@ def main():
     predictions = []
     n_fallbacks = 0
     n_images = len(dataset) if not _A.max_images else min(_A.max_images, len(dataset))
-    for idx in range(n_images):
+    group_size = max(_A.batch_images, 1)
+
+    def prepare(idx):
         item = dataset[idx]
         batch = dataset.collate_fn([item])
-        feats = batch["image_features"]
-        sentiment = batch["sentiment"]
         obj_att_embeds = None
         if latent_dict is not None and batch.get("obj_atts"):
-            obj_att_embeds = jnp.asarray(latent_dict.translate_obj_atts(
-                batch["obj_atts"], _C.DATA.MAX_BOXES))
+            obj_att_embeds = latent_dict.translate_obj_atts(
+                batch["obj_atts"], _C.DATA.MAX_BOXES)
+        return batch, obj_att_embeds
 
-        key, k = jax.random.split(key)
+    def decode_single(batch, obj_att_embeds, k):
+        """Per-image decode with the reference's counted fallback
+        (inference.py:160-170): unconstrained beam when CBS fails."""
+        nonlocal n_fallbacks
+        feats = batch["image_features"]
+        sentiment = batch["sentiment"]
+        oae = jnp.asarray(obj_att_embeds) if obj_att_embeds is not None else None
         try:
-            captions_tok = _decode_one(
-                _C, model_cfg, harness, batch, feats, sentiment,
-                obj_att_embeds, k, n_z)
+            return _decode_one(_C, model_cfg, harness, batch, feats,
+                               sentiment, oae, k, n_z)
         except Exception as e:
-            # Reference falls back to an unconstrained decode when CBS fails
-            # for an image (inference.py:160-170) — do the same, but counted
-            # and logged instead of silent (SURVEY §5.3).
             print(f"image {int(batch['image_id'][0])}: CBS failed ({e}); "
                   "falling back to unconstrained beam search")
             n_fallbacks += 1
-            seqs, _ = harness.decode_beam(feats, sentiment, obj_att_embeds, k, n_z)
-            captions_tok = seqs[:, 0, :]
+            seqs, _ = harness.decode_beam(feats, sentiment, oae, k, n_z)
+            return seqs[:, 0, :]
 
+    def emit(batch, captions_tok):
         image_id = int(batch["image_id"][0])
         for z in range(n_z):
             predictions.append({
@@ -141,8 +149,28 @@ def main():
                 "caption": detokenize(captions_tok[z], vocabulary,
                                       model_cfg.boundary_index),
             })
-        if (idx + 1) % 50 == 0:
-            print(f"{idx + 1}/{n_images} images decoded")
+
+    for start in range(0, n_images, group_size):
+        idxs = range(start, min(start + group_size, n_images))
+        prepared = [prepare(i) for i in idxs]
+        key, k = jax.random.split(key)
+        if len(prepared) > 1:
+            try:
+                per_image = _decode_group(_C, model_cfg, harness, prepared,
+                                          k, n_z)
+                for (batch, _), toks in zip(prepared, per_image):
+                    emit(batch, toks)
+            except Exception as e:
+                print(f"group decode failed ({e}); retrying per image")
+                for batch, oae in prepared:
+                    key, k = jax.random.split(key)
+                    emit(batch, decode_single(batch, oae, k))
+        else:
+            batch, oae = prepared[0]
+            emit(batch, decode_single(batch, oae, k))
+        done_n = min(start + group_size, n_images)
+        if done_n % 50 < group_size and done_n >= 50 or done_n == n_images:
+            print(f"{done_n}/{n_images} images decoded")
 
     os.makedirs(os.path.dirname(os.path.abspath(_A.output_path)), exist_ok=True)
     with open(_A.output_path, "w") as f:
@@ -150,6 +178,52 @@ def main():
     if n_fallbacks:
         print(f"{n_fallbacks} images fell back to unconstrained decoding")
     print(f"wrote {len(predictions)} predictions to {_A.output_path}")
+
+
+def _decode_group(_C, model_cfg, harness, prepared, k, n_z):
+    """Decode a group of images in ONE device dispatch (the reference forces
+    bs=1, inference.py:95). Returns a list of (n_z, T) token arrays, one per
+    image, in input order."""
+    import numpy as np
+
+    from style_seqcvae_tpu.decoding.select import select_best_beam_with_constraints
+
+    feats = np.concatenate([b["image_features"] for b, _ in prepared])
+    sents = [b["sentiment"] for b, _ in prepared]
+    sentiment = (np.concatenate(sents) if sents[0] is not None else None)
+    oaes = [o for _, o in prepared]
+    obj_att_embeds = (None if oaes[0] is None
+                      else jnp.asarray(np.concatenate(oaes)))
+    B = len(prepared)
+
+    if _C.MODEL.USE_CBS:
+        tables = [list(b["fsm_tables"]) for b, _ in prepared]
+        ncs = np.asarray([int(np.asarray(b["num_constraints"]).reshape(-1)[0])
+                          for b, _ in prepared])
+        if model_cfg.cbs_simple:
+            best, _ = harness.decode_cbs(
+                feats, sentiment, obj_att_embeds, tables, ncs, k, n_z)
+            return [best[:, b, :] for b in range(B)]          # (n_z, T) each
+        seqs, lp = harness.decode_cbs(
+            feats, sentiment, obj_att_embeds, tables, ncs, k, n_z,
+            return_all=True)
+        out = [[] for _ in range(B)]
+        for z in range(n_z):
+            cands, c2s, per_nc = [], [], []
+            for b, _ in prepared:
+                ci = min(z, len(b["candidates"]) - 1)
+                ni = min(z, len(b["num_constraints"]) - 1)
+                cands.append(b["candidates"][ci])
+                c2s.append(b["constraint2states"][ci])
+                per_nc.append(int(b["num_constraints"][ni]))
+            best, _ = select_best_beam_with_constraints(
+                seqs[z], lp[z], per_nc, cands, c2s,
+                model_cfg.min_constraints_to_satisfy, cbs_simple=False)
+            for b in range(B):
+                out[b].append(best[b])
+        return [np.stack(toks) for toks in out]
+    seqs, _ = harness.decode_beam(feats, sentiment, obj_att_embeds, k, n_z)
+    return [seqs[:, b, :] for b in range(B)]
 
 
 def _decode_one(_C, model_cfg, harness, batch, feats, sentiment,

@@ -39,13 +39,19 @@ def _bucket(n: int, buckets=(8, 12, 16, 24, 32)) -> int:
     return n
 
 
-def pad_tables(tables: List[FSMTables], n_z: int) -> FSMTables:
-    """Stack per-z FSMTables, padding S and E to bucket sizes, replicating
-    the last table if fewer than n_z were built (shared-FSM mode)."""
-    while len(tables) < n_z:
-        tables.append(tables[-1])
-    S = _bucket(max(t.default_dest.shape[0] for t in tables))
-    E = _bucket(max(t.exc_token.shape[-1] for t in tables))
+def pad_tables_batch(tables_per_image: List[List[FSMTables]],
+                     n_z: int) -> FSMTables:
+    """Per-image per-z FSMTables → one (Z, B, S[, E]) stack. S and E pad to
+    shared bucket sizes across the whole group (so repeated groups reuse the
+    compiled program); images with fewer than n_z tables replicate their
+    last one (shared-FSM mode)."""
+    per_image = [list(ts) for ts in tables_per_image]
+    for ts in per_image:
+        while len(ts) < n_z:
+            ts.append(ts[-1])
+    flat = [t for ts in per_image for t in ts]
+    S = _bucket(max(t.default_dest.shape[0] for t in flat))
+    E = _bucket(max(t.exc_token.shape[-1] for t in flat))
 
     def pad(t: FSMTables) -> FSMTables:
         s, e = t.default_dest.shape[0], t.exc_token.shape[-1]
@@ -57,10 +63,20 @@ def pad_tables(tables: List[FSMTables], n_z: int) -> FSMTables:
                          np.pad(np.asarray(t.exc_dest), pw),
                          np.pad(np.asarray(t.exc_valid), pw))
 
-    stacked = [pad(t) for t in tables]
-    return FSMTables(*[jnp.asarray(np.stack([np.asarray(getattr(t, f))[None]
-                                             for t in stacked]))
-                       for f in FSMTables._fields])  # (Z, 1, S[, E])
+    padded = [[pad(t) for t in ts] for ts in per_image]
+    out = []
+    for f in FSMTables._fields:
+        # (Z, B, ...): z-major so vmap over z sees a (B, ...) FSM per sample
+        out.append(jnp.asarray(np.stack(
+            [np.stack([np.asarray(getattr(padded[b][z], f))
+                       for b in range(len(padded))])
+             for z in range(n_z)])))
+    return FSMTables(*out)
+
+
+def pad_tables(tables: List[FSMTables], n_z: int) -> FSMTables:
+    """Single-image form of :func:`pad_tables_batch` → (Z, 1, S[, E])."""
+    return pad_tables_batch([tables], n_z)
 
 
 class DecodeHarness:
@@ -117,13 +133,22 @@ class DecodeHarness:
         return jax.vmap(one_z)(keys, tables)
 
     def decode_cbs(self, feats: np.ndarray, sentiment, obj_att_embeds,
-                   tables: List[FSMTables], num_constraints, key, n_z: int,
+                   tables, num_constraints, key, n_z: int,
                    return_all: bool = False):
-        """feats (1, N, F); per-z FSM tables; returns (n_z, T) token ids (or
-        all beams when ``return_all`` for grounded selection)."""
-        stacked = pad_tables(list(tables), n_z)
-        nc = jnp.asarray(np.broadcast_to(np.asarray(num_constraints).reshape(-1)[:1],
-                                         (1,)))
+        """feats (B, N, F); ``tables`` is per-z ``List[FSMTables]`` (B=1) or
+        per-image ``List[List[FSMTables]]``. Returns (n_z, B, T) token ids
+        (or all (n_z, B, S, K, T) beams when ``return_all`` for grounded
+        selection)."""
+        B = feats.shape[0]
+        if tables and isinstance(tables[0], FSMTables):
+            assert B == 1, "per-image FSM lists required for batched decode"
+            stacked = pad_tables(list(tables), n_z)
+        else:
+            assert len(tables) == B
+            stacked = pad_tables_batch(tables, n_z)
+        nc = np.asarray(num_constraints).reshape(-1)
+        nc = jnp.asarray(np.broadcast_to(nc[:1], (B,)) if nc.size < B
+                         else nc[:B])
         oae = obj_att_embeds if obj_att_embeds is not None else None
         out = self._jit_cbs(self.params, jnp.asarray(feats),
                             jnp.asarray(sentiment) if sentiment is not None else None,

@@ -171,3 +171,40 @@ def test_baseline_harness_cbs_and_beam():
     toks1, _ = harness.decode_beam(feats, None, None, jax.random.PRNGKey(2), n_z=1)
     toks2, _ = harness.decode_beam(feats, None, None, jax.random.PRNGKey(3), n_z=1)
     np.testing.assert_array_equal(np.asarray(toks1), np.asarray(toks2))
+
+
+def test_harness_batched_cbs_matches_per_image():
+    """decode_cbs with per-image FSM lists (B>1) must reproduce the
+    single-image decodes exactly for a deterministic model."""
+    from style_seqcvae_tpu.data.vocabulary import (
+        BOUNDARY_TOKEN, UNK_TOKEN, Vocabulary)
+    from style_seqcvae_tpu.decoding.fsm import FiniteStateMachineBuilder
+    from style_seqcvae_tpu.decoding.harness import DecodeHarness
+
+    vocab = Vocabulary([UNK_TOKEN, BOUNDARY_TOKEN, "a", "dog", "cat", "runs",
+                        "sits", "red", "blue", "park"])
+    cfg = CaptionerConfig(vocab_size=vocab.get_vocab_size(),
+                          image_feature_size=F, embedding_size=E,
+                          hidden_size=H, attention_projection_size=P,
+                          max_caption_length=7, beam_size=4)
+    params = init_baseline(jax.random.PRNGKey(8), cfg)
+    feats = np.random.RandomState(9).randn(3, N, F).astype(np.float32)
+
+    builder = FiniteStateMachineBuilder(vocab, max_given_constraints=2,
+                                        max_words_per_constraint=1)
+    for w in ("dog", "cat", "red", "blue"):
+        builder.add_wordforms(w, [w])
+    per_image = [[builder.build_tables(["dog", "red"])[0]],
+                 [builder.build_tables(["cat"])[0]],
+                 [builder.build_tables(["blue", "cat"])[0]]]
+    ncs = np.asarray([2, 1, 2])
+
+    harness = DecodeHarness(params, cfg, family="baseline")
+    batched, _ = harness.decode_cbs(feats, None, None, per_image, ncs,
+                                    jax.random.PRNGKey(1), n_z=1)
+    for b in range(3):
+        single, _ = harness.decode_cbs(feats[b:b + 1], None, None,
+                                       per_image[b], ncs[b:b + 1],
+                                       jax.random.PRNGKey(1), n_z=1)
+        np.testing.assert_array_equal(np.asarray(batched[:, b]),
+                                      np.asarray(single[:, 0]))
