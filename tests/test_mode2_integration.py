@@ -198,3 +198,64 @@ def test_grounded_mode_candidates_and_selection(corpus):
         [batch["candidates"][0]], [batch["constraint2states"][0]],
         min_constraints_to_satisfy=1, cbs_simple=True)
     assert best.shape == (1, 7)
+
+
+def test_grounded_mode_batched_group_decode(corpus):
+    """Two images in one dispatch, grounded mode: per-image FSM lists stack
+    through pad_tables_batch and the grounded host selection consumes the
+    full (B, S, K, T) beams per z."""
+    import random
+
+    from style_seqcvae_tpu.decoding.select import select_best_beam_with_constraints
+
+    vocab_tokens = [UNK_TOKEN, BOUNDARY_TOKEN, "a", "dog", "cat", "nice"] + CLEANED
+    vocab = Vocabulary(vocab_tokens)
+    ds = EvaluationDatasetWithConstraints(
+        vocabulary=vocab,
+        val_image_features_h5path=corpus["h5"],
+        do_load_senticap=True,
+        senticap_jsonpath=corpus["senticap"],
+        sentiment="pos",
+        attribs_dir_path=corpus["attribs_dir"],
+        wordforms_attribs_tsvpath=corpus["wordforms"],
+        n_z_samples=2, state_machine_per_z_sample=True,
+        max_boxes=4, cbs_simple=False,
+        rng=random.Random(0),
+        obj_id2name=corpus["obj_id2name"])
+
+    items = [ds[0], ds[0]]
+    batches = [ds.collate_fn([it]) for it in items]
+    cfg = CaptionerConfig(vocab_size=vocab.get_vocab_size(), image_feature_size=16,
+                          embedding_size=300, hidden_size=8,
+                          attention_projection_size=4, z_space=10,
+                          sentiment_vae=2, simple_vae=False,
+                          latent_embedding="glove", max_caption_length=7,
+                          beam_size=2, use_cbs=True, cbs_simple=False,
+                          min_constraints_to_satisfy=1)
+    ld = LatentDictionary.from_sentiglove(corpus["sentiglove"], cfg.z_space)
+    oae = np.concatenate([ld.translate_obj_atts(b["obj_atts"], max_boxes=4)
+                          for b in batches])
+    feats = np.concatenate([b["image_features"] for b in batches])
+    sentiment = np.concatenate([b["sentiment"] for b in batches])
+    params = init_captioner(jax.random.PRNGKey(0), cfg)
+    harness = DecodeHarness(params, cfg)
+
+    tables = [list(b["fsm_tables"]) for b in batches]
+    ncs = np.asarray([int(b["num_constraints"][0]) for b in batches])
+    seqs, lp = harness.decode_cbs(feats, sentiment, jnp.asarray(oae),
+                                  tables, ncs, jax.random.PRNGKey(1),
+                                  n_z=2, return_all=True)
+    assert seqs.shape[0] == 2 and seqs.shape[1] == 2       # (Z, B, S, K, T)
+    best, valid = select_best_beam_with_constraints(
+        seqs[0], lp[0], [int(n) for n in ncs],
+        [b["candidates"][0] for b in batches],
+        [b["constraint2states"][0] for b in batches],
+        min_constraints_to_satisfy=1, cbs_simple=True)
+    assert best.shape == (2, 7)
+    # z-noise is drawn per batch row, so the two copies differ; the whole
+    # batched decode must still be key-deterministic end to end
+    seqs2, lp2 = harness.decode_cbs(feats, sentiment, jnp.asarray(oae),
+                                    tables, ncs, jax.random.PRNGKey(1),
+                                    n_z=2, return_all=True)
+    np.testing.assert_array_equal(np.asarray(seqs), np.asarray(seqs2))
+    np.testing.assert_allclose(np.asarray(lp), np.asarray(lp2))
