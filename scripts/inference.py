@@ -35,6 +35,10 @@ parser.add_argument("--batch-images", type=int, default=1,
                     help="images per device dispatch (the reference decodes "
                          "strictly one at a time, inference.py:95; batching "
                          "amortizes dispatch latency and fills the MXU)")
+parser.add_argument("--bf16", action="store_true",
+                    help="decode with bfloat16 params/activations (f32 score "
+                         "accumulators) — ~1.3-1.7x on TPU; log-prob deltas "
+                         "vs f32 are ~1e-3")
 
 
 def main():
@@ -105,6 +109,10 @@ def main():
                 _C.DATA.SWN_SCORES, model_cfg.z_space,
                 model_cfg.latent_embedding_multip)
 
+    if _A.bf16:
+        params = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, params)
     harness = DecodeHarness(params, model_cfg, family=_A.model)
     # the baseline is deterministic — z-samples would all be identical
     n_z = 1 if _A.model == "baseline" else max(_C.MODEL.N_Z_SAMPLES, 1)
@@ -150,14 +158,38 @@ def main():
                                       model_cfg.boundary_index),
             })
 
-    for start in range(0, n_images, group_size):
-        idxs = range(start, min(start + group_size, n_images))
-        prepared = [prepare(i) for i in idxs]
+    decode_dtype = jnp.bfloat16 if _A.bf16 else jnp.float32
+
+    def group_stream():
+        """Host collation + device staging of the NEXT group runs on a
+        producer thread, overlapping the current group's decode (the
+        host→device feature transfer otherwise serializes with compute)."""
+        for start in range(0, n_images, group_size):
+            idxs = range(start, min(start + group_size, n_images))
+            prepared = [prepare(i) for i in idxs]
+            staged = None
+            if len(prepared) > 1:
+                feats = np.concatenate([b["image_features"]
+                                        for b, _ in prepared])
+                sents = [b["sentiment"] for b, _ in prepared]
+                oaes = [o for _, o in prepared]
+                staged = {
+                    "feats": jax.device_put(jnp.asarray(feats, decode_dtype)),
+                    "sentiment": (jax.device_put(jnp.asarray(np.concatenate(sents)))
+                                  if sents[0] is not None else None),
+                    "oae": (jax.device_put(jnp.asarray(np.concatenate(oaes)))
+                            if oaes[0] is not None else None),
+                }
+            yield start, prepared, staged
+
+    from style_seqcvae_tpu.data.prefetch import prefetch
+
+    for start, prepared, staged in prefetch(group_stream(), buffer_size=2):
         key, k = jax.random.split(key)
         if len(prepared) > 1:
             try:
                 per_image = _decode_group(_C, model_cfg, harness, prepared,
-                                          k, n_z)
+                                          k, n_z, staged=staged)
                 for (batch, _), toks in zip(prepared, per_image):
                     emit(batch, toks)
             except Exception as e:
@@ -180,20 +212,25 @@ def main():
     print(f"wrote {len(predictions)} predictions to {_A.output_path}")
 
 
-def _decode_group(_C, model_cfg, harness, prepared, k, n_z):
+def _decode_group(_C, model_cfg, harness, prepared, k, n_z, staged=None):
     """Decode a group of images in ONE device dispatch (the reference forces
     bs=1, inference.py:95). Returns a list of (n_z, T) token arrays, one per
-    image, in input order."""
+    image, in input order. ``staged`` carries pre-transferred device arrays
+    from the prefetch thread."""
     import numpy as np
 
     from style_seqcvae_tpu.decoding.select import select_best_beam_with_constraints
 
-    feats = np.concatenate([b["image_features"] for b, _ in prepared])
-    sents = [b["sentiment"] for b, _ in prepared]
-    sentiment = (np.concatenate(sents) if sents[0] is not None else None)
-    oaes = [o for _, o in prepared]
-    obj_att_embeds = (None if oaes[0] is None
-                      else jnp.asarray(np.concatenate(oaes)))
+    if staged is not None:
+        feats, sentiment, obj_att_embeds = (staged["feats"],
+                                            staged["sentiment"], staged["oae"])
+    else:
+        feats = np.concatenate([b["image_features"] for b, _ in prepared])
+        sents = [b["sentiment"] for b, _ in prepared]
+        sentiment = (np.concatenate(sents) if sents[0] is not None else None)
+        oaes = [o for _, o in prepared]
+        obj_att_embeds = (None if oaes[0] is None
+                          else jnp.asarray(np.concatenate(oaes)))
     B = len(prepared)
 
     if _C.MODEL.USE_CBS:

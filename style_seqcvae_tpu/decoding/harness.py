@@ -27,7 +27,6 @@ from style_seqcvae_tpu.decoding.select import select_best_beam_simple_jax
 from style_seqcvae_tpu.models.captioner import (
     CaptionerConfig,
     make_decode_context,
-    make_step_fn,
 )
 from style_seqcvae_tpu.models.updown_cell import init_cell_state
 
@@ -92,8 +91,13 @@ class DecodeHarness:
                                 static_argnames=("n_z", "return_all"))
         self._jit_beam = jax.jit(self._decode_beam_impl, static_argnames=("n_z",))
 
-    def _step_and_state(self, params, feats, sentiment, obj_att_embeds):
-        """(step_fn, init_state, start_tokens) for the configured family."""
+    def _step_and_state(self, params, feats, sentiment, obj_att_embeds,
+                        raw: bool = False):
+        """(step_fn, init_state, start_tokens, raw_available) for the
+        configured family. ``raw=True`` asks for the raw-logits contract
+        (selection on raw scores + per-row logsumexp correction — skips the
+        (G, V) log_softmax materialization); the cvae family serves it via
+        the optimized step fn (folded constant LSTM gate segments)."""
         cfg = self.cfg
         B = feats.shape[0]
         start = jnp.full((B,), cfg.boundary_index)
@@ -103,26 +107,29 @@ class DecodeHarness:
 
             step = make_baseline_step_fn(params, cfg, feats)
             return step, init_baseline_state((B,), cfg.hidden_size,
-                                             feats.dtype), start
+                                             feats.dtype), start, False
+        from style_seqcvae_tpu.models.captioner import make_optimized_step_fn
+
         ctx = make_decode_context(params, cfg, feats, sentiment=sentiment,
                                   obj_att_embeds=obj_att_embeds)
-        step = make_step_fn(params, cfg, ctx)
-        return step, init_cell_state((B,), cfg.hidden_size, feats.dtype), start
+        step = make_optimized_step_fn(params, cfg, ctx, return_raw=raw)
+        return step, init_cell_state((B,), cfg.hidden_size, feats.dtype), \
+            start, raw
 
     # ---------------- CBS path ----------------
     def _decode_cbs_impl(self, params, feats, sentiment, obj_att_embeds,
                          tables: FSMTables, num_constraints, key, *,
                          n_z: int, return_all: bool):
         cfg = self.cfg
-        step, init_state, start = self._step_and_state(
-            params, feats, sentiment, obj_att_embeds)
+        step, init_state, start, raw = self._step_and_state(
+            params, feats, sentiment, obj_att_embeds, raw=True)
 
         def one_z(z_key, fsm_z):
             seqs, lp = constrained_beam_search_fast(
                 step, start, init_state, fsm_z, z_key,
                 max_steps=cfg.max_caption_length, beam_size=cfg.beam_size,
                 per_node_beam_size=cfg.beam_size // 2,
-                end_index=cfg.boundary_index)
+                end_index=cfg.boundary_index, raw_step=raw)
             if return_all:
                 return seqs, lp
             best, best_lp = select_best_beam_simple_jax(
@@ -159,7 +166,7 @@ class DecodeHarness:
     def _decode_beam_impl(self, params, feats, sentiment, obj_att_embeds, key,
                           *, n_z: int):
         cfg = self.cfg
-        step, init_state, start = self._step_and_state(
+        step, init_state, start, _ = self._step_and_state(
             params, feats, sentiment, obj_att_embeds)
 
         def one_z(z_key):
