@@ -1,0 +1,94 @@
+"""End-to-end CLI smoke: train → inference through the actual scripts in a
+subprocess (the driver only runs pytest, so without this the script layer has
+no automated regression net). Tiny dims, CPU, ~1 min."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def cli_fixture(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cli")
+    from style_seqcvae_tpu.data.vocabulary import (
+        BOUNDARY_TOKEN, UNK_TOKEN, Vocabulary)
+    from style_seqcvae_tpu.utils.features_io import FeaturesWriter, pack_obj_atts
+
+    words = ["a", "dog", "cat", "runs", "sits", "red", "blue", "park",
+             "in", "the"]
+    Vocabulary([UNK_TOKEN, BOUNDARY_TOKEN] + words).save_to_files(
+        str(d / "vocab"))
+    ids = list(range(1, 9))
+    anns = [{"id": i, "image_id": iid,
+             "caption": f"the {'red' if iid % 2 else 'blue'} dog runs"}
+            for i, iid in enumerate(ids)]
+    (d / "captions.json").write_text(json.dumps({"annotations": anns}))
+    rng = np.random.RandomState(0)
+    w = FeaturesWriter(str(d / "features.h5"), len(ids))
+    for i, iid in enumerate(ids):
+        w.write(i, iid, rng.randn(6, 32).astype(np.float32),
+                pack_obj_atts(list(range(1, 7)), [[0]] * 6),
+                np.zeros((0,), np.float32))
+    w.close()
+    (d / "cfg.yml").write_text(f"""
+DATA:
+  VOCABULARY: {d}/vocab
+  TRAIN_FEATURES: {d}/features.h5
+  INFER_FEATURES: {d}/features.h5
+  TRAIN_CAPTIONS: {d}/captions.json
+  INFER_CAPTIONS: {d}/captions.json
+  MAX_CAPTION_LENGTH: 8
+MODEL:
+  IMAGE_FEATURE_SIZE: 32
+  EMBEDDING_SIZE: 16
+  HIDDEN_SIZE: 24
+  ATTENTION_PROJECTION_SIZE: 12
+  Z_SPACE: 10
+OPTIM:
+  BATCH_SIZE: 4
+  NUM_ITERATIONS: 30
+  LR: 0.05
+""")
+    return d
+
+
+def _run(args):
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    proc = subprocess.run([sys.executable] + args, cwd=REPO, env=env,
+                          capture_output=True, text=True, timeout=600)
+    assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
+    return proc.stdout
+
+
+def test_train_and_inference_cli(cli_fixture):
+    d = cli_fixture
+    for model in ("baseline", "cvae"):
+        ser = d / f"ckpt_{model}"
+        _run(["scripts/train.py", "--model", model, "--cpu",
+              "--config", str(d / "cfg.yml"),
+              "--serialization-dir", str(ser),
+              "--max-iterations", "30", "--checkpoint-every", "30",
+              "--config-override", "PRINT_EVERY_N_BATCHES", "10",
+              "DATA.MAX_BOXES", "6", "MODEL.LSTM_DROPOUT", "0.0"])
+        rows = [json.loads(l) for l in open(ser / "metrics.jsonl")]
+        assert rows[-1]["loss"] < rows[0]["loss"], model
+
+        out = d / f"preds_{model}.json"
+        _run(["scripts/inference.py", "--model", model, "--cpu",
+              "--config", str(d / "cfg.yml"),
+              "--checkpoint-path", str(ser), "--checkpoint-name",
+              "checkpoint_30",
+              "--output-path", str(out), "--max-images", "4",
+              "--batch-images", "2",
+              "--config-override", "DATA.MAX_BOXES", "6",
+              "MODEL.N_Z_SAMPLES", "2"])
+        preds = json.load(open(out))
+        n_z = 1 if model == "baseline" else 2
+        assert len(preds) == 4 * n_z, (model, len(preds))
+        assert all("caption" in p and "image_id" in p for p in preds)
