@@ -28,6 +28,9 @@ parser.add_argument("--canvas", type=int, nargs=2, default=[640, 1024])
 parser.add_argument("--ims-per-batch", type=int, default=1,
                     help="images per SGD step, grouped by canvas orientation "
                          "(the reference trains res101 at 16, README.md:56-61)")
+parser.add_argument("--bf16-compute", action="store_true",
+                    help="bfloat16 forward/backward with float32 master "
+                         "params (no loss scaling needed on TPU; ~1.3x)")
 parser.add_argument("--num-data", type=int, default=1,
                     help="data-parallel mesh size; shards --ims-per-batch "
                          "over chips (-1 = all devices)")
@@ -107,10 +110,22 @@ def main():
     att_counts = (dataset.att_counts if dataset.att_counts is not None
                   else np.ones((max(dataset.n_attribs, 1),), np.float32))
 
+    def _compute_cast(tree):
+        if not _A.bf16_compute:
+            return tree
+        return jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, tree)
+
     @jax.jit
     def train_step(params, opt_state, batch, key):
         def loss_fn(p):
-            losses = detector_forward_train(p, det_cfg, batch, key)
+            # --bf16-compute: bf16 fwd/bwd, f32 master params + optimizer.
+            # bf16 keeps the f32 exponent range, so no loss scaling (unlike
+            # fp16); the cast's vjp returns f32 grads.
+            b = ({**batch, "images": batch["images"].astype(jnp.bfloat16)}
+                 if _A.bf16_compute else batch)
+            losses = detector_forward_train(_compute_cast(p), det_cfg, b, key)
             return losses["total"], losses
 
         (_, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)

@@ -119,6 +119,9 @@ def _pool_rois(params, cfg: DetectorConfig, base_feat, rois_flat,
     else:
         pooled = roi_pool(base_feat, rois_flat, spatial_scale=1.0 / cfg.feat_stride,
                           pooled_height=cfg.pooling_size, pooled_width=cfg.pooling_size)
+    # the gather math promotes through the f32 rois — keep the feature dtype
+    # so a bf16-compute backbone flows through layer4 unchanged (f32 no-op)
+    pooled = pooled.astype(base_feat.dtype)
     if cfg.backbone == "vgg16":
         from style_seqcvae_tpu.models.detector import vgg
 
