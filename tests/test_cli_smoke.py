@@ -92,3 +92,44 @@ def test_train_and_inference_cli(cli_fixture):
         n_z = 1 if model == "baseline" else 2
         assert len(preds) == 4 * n_z, (model, len(preds))
         assert all("caption" in p and "image_id" in p for p in preds)
+
+
+def test_detector_cli_smoke(tmp_path):
+    """train_detector.py end to end on tiny images/canvas (CPU): batching,
+    canvas bucketing, and per-step losses all exercised through the CLI."""
+    from PIL import Image
+
+    d = tmp_path
+    rng = np.random.RandomState(7)
+    images, anns = [], []
+    aid = 1
+    for iid in range(1, 5):
+        h, w = (96, 128) if iid % 2 else (128, 96)
+        Image.fromarray((rng.rand(h, w, 3) * 255).astype(np.uint8)).save(
+            d / f"i{iid}.jpg")
+        images.append({"id": iid, "file_name": f"i{iid}.jpg",
+                       "height": h, "width": w})
+        for _ in range(2):
+            x, y = rng.randint(0, w - 48), rng.randint(0, h - 48)
+            anns.append({"id": aid, "image_id": iid, "category_id": 1,
+                         "bbox": [int(x), int(y), 40, 40], "area": 1600,
+                         "iscrowd": 0})
+            aid += 1
+    (d / "inst.json").write_text(json.dumps(
+        {"images": images, "annotations": anns,
+         "categories": [{"id": 1, "name": "thing"}]}))
+
+    out = _run(["scripts/train_detector.py", "--cpu",
+                "--instances-json", str(d / "inst.json"),
+                "--image-root", str(d),
+                "--serialization-dir", str(d / "ckpt"),
+                "--epochs", "1", "--steps-per-epoch", "4",
+                "--ims-per-batch", "2", "--canvas", "96", "128",
+                "--config-override",
+                "DET.TRAIN.SCALES", "[96]", "DET.TRAIN.MAX_SIZE", "128",
+                "DET.TRAIN.RPN_PRE_NMS_TOP_N", "300",
+                "DET.TRAIN.RPN_POST_NMS_TOP_N", "40",
+                "DET.TRAIN.DISPLAY", "1"])
+    assert "done." in out
+    rows = [json.loads(l) for l in open(d / "ckpt" / "metrics.jsonl")]
+    assert rows and all(np.isfinite(r["total"]) for r in rows)
