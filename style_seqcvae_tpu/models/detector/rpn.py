@@ -97,7 +97,9 @@ def proposal_layer(cls_logits, bbox_deltas, all_anchors, im_info, *,
         if use_pallas_nms:
             from style_seqcvae_tpu.ops.pallas.nms import nms_pallas
 
-            keep_idx, _ = nms_pallas(props, scs, nms_thresh, max_out=post_nms_top_n)
+            # top_k already returned candidates in descending-score order
+            keep_idx, _ = nms_pallas(props, scs, nms_thresh,
+                                     max_out=post_nms_top_n, presorted=True)
         else:
             keep_idx, _ = nms(props, scs, nms_thresh, max_out=post_nms_top_n)
         if keep_idx.shape[0] < post_nms_top_n:

@@ -109,16 +109,24 @@ def _greedy_reduce(mask: jnp.ndarray) -> jnp.ndarray:
 
 
 def nms_pallas(boxes: jnp.ndarray, scores: jnp.ndarray, threshold: float,
-               max_out: int = 0, interpret: bool = False
-               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+               max_out: int = 0, interpret: bool = False,
+               presorted: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Drop-in for ops.nms.nms: returns (keep_idx desc-score-sorted padded
-    with -1, keep_mask (N,)). Pads N internally to a multiple of 128."""
+    with -1, keep_mask (N,)). Pads N internally to a multiple of 128.
+
+    ``presorted=True`` promises boxes already arrive in descending-score
+    order (the RPN proposal path: ``lax.top_k`` returns sorted results) and
+    skips the argsort + gather — they are the dominant non-bitmask cost."""
     n = boxes.shape[0]
     # pad so both the 128-row and (for large n) 1024-col tiles divide n
     pad_to = ROW_BLOCK if n <= COL_BLOCK else COL_BLOCK
     n_pad = -(-n // pad_to) * pad_to
-    order = jnp.argsort(-scores)
-    sboxes = boxes[order]
+    if presorted:
+        order = jnp.arange(n)
+        sboxes = boxes
+    else:
+        order = jnp.argsort(-scores)
+        sboxes = boxes[order]
     if n_pad != n:
         # padding boxes: zero-area at -inf score end; they suppress nothing
         sboxes = jnp.concatenate(
