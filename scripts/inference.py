@@ -35,6 +35,12 @@ parser.add_argument("--batch-images", type=int, default=1,
                     help="images per device dispatch (the reference decodes "
                          "strictly one at a time, inference.py:95; batching "
                          "amortizes dispatch latency and fills the MXU)")
+parser.add_argument("--num-data", type=int, default=1,
+                    help="shard the (z x batch x states x beam) decode grid "
+                         "over the first N devices of a data mesh (the "
+                         "multi-chip replacement for the reference's "
+                         "DataParallel inference, inference.py:108-109); "
+                         "captions are identical to the unsharded decode")
 parser.add_argument("--bf16", action="store_true",
                     help="decode with bfloat16 params/activations (f32 score "
                          "accumulators) — ~1.3-1.7x on TPU; log-prob deltas "
@@ -113,7 +119,18 @@ def main():
         params = jax.tree_util.tree_map(
             lambda x: x.astype(jnp.bfloat16)
             if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, params)
-    harness = DecodeHarness(params, model_cfg, family=_A.model)
+    mesh = None
+    if _A.num_data > 1:
+        from style_seqcvae_tpu.parallel.mesh import make_mesh
+
+        devices = jax.devices()
+        if len(devices) < _A.num_data:
+            raise SystemExit(
+                f"--num-data {_A.num_data} needs {_A.num_data} devices, "
+                f"found {len(devices)} ({jax.default_backend()})")
+        mesh = make_mesh(num_data=_A.num_data, num_model=1,
+                         devices=devices[:_A.num_data])
+    harness = DecodeHarness(params, model_cfg, family=_A.model, mesh=mesh)
     # the baseline is deterministic — z-samples would all be identical
     n_z = 1 if _A.model == "baseline" else max(_C.MODEL.N_Z_SAMPLES, 1)
     key = jax.random.PRNGKey(_C.RANDOM_SEED + 7)

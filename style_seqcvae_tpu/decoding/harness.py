@@ -79,17 +79,55 @@ def pad_tables(tables: List[FSMTables], n_z: int) -> FSMTables:
 
 
 class DecodeHarness:
-    def __init__(self, params, cfg: CaptionerConfig, family: str = "cvae"):
+    def __init__(self, params, cfg: CaptionerConfig, family: str = "cvae",
+                 mesh=None):
         """family: "cvae" (Style-SeqCVAE, z-sampled) or "baseline" (the
         non-variational UpDown — deterministic, so every z-sample is
-        identical; callers should pass n_z=1)."""
+        identical; callers should pass n_z=1).
+
+        ``mesh``: optional ``jax.sharding.Mesh`` — shards the
+        (z × batch × states × beam) decode grid over the mesh's data axis
+        (SURVEY.md §2.6; the reference's only inference scaling is
+        DataParallel, var_updown/scripts/inference.py:108-109). Params are
+        replicated; the z axis (or batch) is the DP split, so sharded and
+        unsharded decodes produce identical captions."""
         assert family in ("cvae", "baseline")
+        if mesh is not None:
+            from style_seqcvae_tpu.parallel.mesh import replicate
+
+            params = replicate(mesh, params)
         self.params = params
         self.cfg = cfg
         self.family = family
+        self.mesh = mesh
         self._jit_cbs = jax.jit(self._decode_cbs_impl,
                                 static_argnames=("n_z", "return_all"))
         self._jit_beam = jax.jit(self._decode_beam_impl, static_argnames=("n_z",))
+
+    def _shard_decode_inputs(self, n_z, feats, sentiment, obj_att_embeds,
+                             tables=None, nc=None, key=None):
+        """device_put decode inputs with grid sharding (no-op mesh=None)."""
+        from jax.sharding import NamedSharding
+        from style_seqcvae_tpu.parallel.mesh import decode_grid_specs
+
+        B = feats.shape[0]
+        z_spec, b_spec = decode_grid_specs(self.mesh, n_z, B)
+
+        def put(x, spec):
+            if x is None:
+                return None
+            return jax.device_put(x, NamedSharding(self.mesh, spec))
+
+        from jax.sharding import PartitionSpec as P
+
+        feats = put(feats, b_spec)
+        sentiment = put(sentiment, b_spec)
+        obj_att_embeds = put(obj_att_embeds, b_spec)
+        if tables is not None:
+            tables = jax.tree_util.tree_map(lambda t: put(t, z_spec), tables)
+        nc = put(nc, b_spec)
+        key = put(key, P())
+        return feats, sentiment, obj_att_embeds, tables, nc, key
 
     def _step_and_state(self, params, feats, sentiment, obj_att_embeds,
                         raw: bool = False):
@@ -156,9 +194,15 @@ class DecodeHarness:
         nc = np.asarray(num_constraints).reshape(-1)
         nc = jnp.asarray(np.broadcast_to(nc[:1], (B,)) if nc.size < B
                          else nc[:B])
-        oae = obj_att_embeds if obj_att_embeds is not None else None
-        out = self._jit_cbs(self.params, jnp.asarray(feats),
-                            jnp.asarray(sentiment) if sentiment is not None else None,
+        oae = (jnp.asarray(obj_att_embeds)
+               if obj_att_embeds is not None else None)
+        feats = jnp.asarray(feats)
+        sentiment = jnp.asarray(sentiment) if sentiment is not None else None
+        if self.mesh is not None:
+            feats, sentiment, oae, stacked, nc, key = \
+                self._shard_decode_inputs(n_z, feats, sentiment, oae,
+                                          stacked, nc, key)
+        out = self._jit_cbs(self.params, feats, sentiment,
                             oae, stacked, nc, key, n_z=n_z, return_all=return_all)
         return jax.tree_util.tree_map(np.asarray, out)
 
@@ -182,9 +226,15 @@ class DecodeHarness:
         return jax.vmap(one_z)(keys)
 
     def decode_beam(self, feats, sentiment, obj_att_embeds, key, n_z: int):
-        out = self._jit_beam(self.params, jnp.asarray(feats),
-                             jnp.asarray(sentiment) if sentiment is not None else None,
-                             obj_att_embeds, key, n_z=n_z)
+        feats = jnp.asarray(feats)
+        sentiment = jnp.asarray(sentiment) if sentiment is not None else None
+        oae = (jnp.asarray(obj_att_embeds)
+               if obj_att_embeds is not None else None)
+        if self.mesh is not None:
+            feats, sentiment, oae, _, _, key = self._shard_decode_inputs(
+                n_z, feats, sentiment, oae, key=key)
+        out = self._jit_beam(self.params, feats, sentiment,
+                             oae, key, n_z=n_z)
         return jax.tree_util.tree_map(np.asarray, out)
 
 

@@ -81,6 +81,37 @@ def shard_detector_batch(mesh: Mesh, batch):
     return out
 
 
+def replicate(mesh: Mesh, tree):
+    """device_put a pytree fully replicated over the mesh (params for
+    decode; the TP train path uses :func:`shard_params` instead)."""
+    sh = NamedSharding(mesh, P())
+
+    def put(x):
+        return None if x is None else jax.device_put(jnp.asarray(x), sh)
+
+    return jax.tree_util.tree_map(put, tree)
+
+
+def decode_grid_specs(mesh: Mesh, n_z: int, batch: int):
+    """Placement of the (z, batch, states, beam) decode grid on the data
+    axis (SURVEY.md §2.6 "batch/beam sharding for inference"). The z and
+    batch elements are fully independent (per-element beam/state math, no
+    cross-element reductions), so sharding either axis is a pure DP split.
+    Prefer z (always = N_Z_SAMPLES, typically 20, and present even at
+    batch 1 — the reference's own loop shape, inference.py:138), else
+    batch, else replicate.
+
+    Returns ``(zmajor_spec, batch_spec)``: the spec for z-major ``(Z, B,…)``
+    stacks (FSM tables) and for batch-leading ``(B,…)`` arrays (features,
+    sentiment, num_constraints)."""
+    nd = mesh.shape[DATA_AXIS]
+    if n_z % nd == 0:
+        return P(DATA_AXIS), P()
+    if batch % nd == 0:
+        return P(None, DATA_AXIS), P(DATA_AXIS)
+    return P(), P()
+
+
 def param_sharding(mesh: Mesh, params, shard_params_over_data: bool = False):
     """Sharding pytree for the captioner parameters.
 

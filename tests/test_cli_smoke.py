@@ -58,8 +58,10 @@ OPTIM:
     return d
 
 
-def _run(args):
+def _run(args, xla_flags=None):
     env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    if xla_flags:
+        env["XLA_FLAGS"] = xla_flags
     proc = subprocess.run([sys.executable] + args, cwd=REPO, env=env,
                           capture_output=True, text=True, timeout=600)
     assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
@@ -92,6 +94,25 @@ def test_train_and_inference_cli(cli_fixture):
         n_z = 1 if model == "baseline" else 2
         assert len(preds) == 4 * n_z, (model, len(preds))
         assert all("caption" in p and "image_id" in p for p in preds)
+
+
+def test_inference_cli_num_data_sharded_equals_unsharded(cli_fixture):
+    """--num-data 2 (decode grid sharded over a 2-device virtual CPU mesh)
+    must produce byte-identical predictions to the unsharded decode."""
+    d = cli_fixture
+    outs = []
+    for num_data in (1, 2):
+        out = d / f"preds_nd{num_data}.json"
+        _run(["scripts/inference.py", "--model", "cvae", "--cpu",
+              "--config", str(d / "cfg.yml"),
+              "--output-path", str(out), "--max-images", "4",
+              "--batch-images", "2", "--num-data", str(num_data),
+              "--config-override", "DATA.MAX_BOXES", "6",
+              "MODEL.N_Z_SAMPLES", "2"],
+             xla_flags="--xla_force_host_platform_device_count=2")
+        outs.append(json.load(open(out)))
+    assert outs[0] == outs[1]
+    assert len(outs[0]) == 8
 
 
 def test_detector_cli_smoke(tmp_path):
