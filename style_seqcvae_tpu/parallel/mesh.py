@@ -112,26 +112,71 @@ def decode_grid_specs(mesh: Mesh, n_z: int, batch: int):
     return P(), P()
 
 
-def param_sharding(mesh: Mesh, params, shard_params_over_data: bool = False):
-    """Sharding pytree for the captioner parameters.
+# Explicit per-leaf TP layout for the captioner/baseline param trees,
+# keyed by path SUFFIX (exact match on the trailing components). Every leaf
+# of both trees must resolve through this table — an unmatched leaf raises,
+# so a param rename breaks loudly instead of silently de-sharding.
+#
+# Model-axis TP: embedding (V, E) → vocab rows over model; tied/untied
+# output projection (H, V) → vocab columns (and its (V,) bias) over model;
+# the three fused (in, 4H) LSTM gate matrices → gate columns over model.
+# Small projections/biases replicate; FSDP-eligible 2-D leaves shard over
+# data when ``shard_params_over_data`` (if divisible, else replicate).
+_PARAM_SPEC_TABLE = (
+    (("embedding",), P(MODEL_AXIS, None), False),
+    (("output_layer", "w"), P(None, MODEL_AXIS), False),
+    (("output_layer", "b"), P(MODEL_AXIS), False),
+    (("attention_lstm", "w"), P(None, MODEL_AXIS), False),
+    (("encoder_lstm", "w"), P(None, MODEL_AXIS), False),
+    (("decoder_lstm", "w"), P(None, MODEL_AXIS), False),
+    (("language_lstm", "w"), P(None, MODEL_AXIS), False),   # baseline family
+    (("attention_lstm", "b"), P(), False),
+    (("encoder_lstm", "b"), P(), False),
+    (("decoder_lstm", "b"), P(), False),
+    (("language_lstm", "b"), P(), False),
+    (("attention", "w_query"), P(), True),
+    (("attention", "w_image"), P(), True),
+    (("attention", "w_attend"), P(), False),
+    (("fc_mean_w",), P(), True),
+    (("fc_mean_b",), P(), False),
+    (("fc_log_var_w",), P(), True),
+    (("fc_log_var_b",), P(), False),
+)
 
-    Model-axis TP: embedding (V, E) → rows over model; fused LSTM gate
-    matrices (in, 4H) → gate dim over model; output projection (H, E) → E
-    over model. Everything else replicated (or sharded over data when
-    ``shard_params_over_data`` for FSDP-style memory scaling)."""
+
+def _path_keys(path):
+    return tuple(str(getattr(p, "key", getattr(p, "name", p))) for p in path)
+
+
+def param_sharding(mesh: Mesh, params, shard_params_over_data: bool = False):
+    """Sharding pytree for the captioner/baseline parameters, resolved
+    through the explicit :data:`_PARAM_SPEC_TABLE` (no substring guessing).
+
+    ``shard_params_over_data``: FSDP-style memory scaling — eligible
+    replicated 2-D leaves shard dim 0 (or dim 1) over ``data`` when the
+    dimension divides the mesh's data size."""
+    nd = mesh.shape[DATA_AXIS]
+
+    def divisible(spec, leaf):
+        return all(ax is None or leaf.shape[d] % mesh.shape[ax] == 0
+                   for d, ax in enumerate(spec))
 
     def spec_of(path, leaf):
-        keys = [getattr(p, "key", getattr(p, "name", str(p))) for p in path]
-        if leaf.ndim == 2:
-            if "embedding" in keys and "output_projection" not in keys:
-                return P(MODEL_AXIS, None)      # shard vocab rows
-            if "w" in keys and any("lstm" in str(k) for k in keys):
-                return P(None, MODEL_AXIS)      # shard fused gate columns
-            if "output_projection" in keys:
-                return P(None, MODEL_AXIS)
-            if shard_params_over_data:
-                return P(DATA_AXIS, None)
-        return P()
+        keys = _path_keys(path)
+        for suffix, spec, fsdp in _PARAM_SPEC_TABLE:
+            if keys[-len(suffix):] == suffix:
+                if fsdp and shard_params_over_data and leaf.ndim == 2:
+                    if leaf.shape[0] % nd == 0:
+                        return P(DATA_AXIS, None)
+                    if leaf.shape[1] % nd == 0:
+                        return P(None, DATA_AXIS)
+                # odd vocab / hidden sizes fall back to replication rather
+                # than failing device_put with an indivisible shard
+                return spec if divisible(spec, leaf) else P()
+        raise ValueError(
+            f"param leaf {'.'.join(keys)} (shape {getattr(leaf, 'shape', '?')}) "
+            "has no entry in _PARAM_SPEC_TABLE — add an explicit spec for it "
+            "(parallel/mesh.py) so its sharding is a decision, not an accident")
 
     return jax.tree_util.tree_map_with_path(
         lambda path, leaf: NamedSharding(mesh, spec_of(path, leaf)), params)

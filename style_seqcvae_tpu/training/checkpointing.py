@@ -22,9 +22,14 @@ import orbax.checkpoint as ocp
 
 class CheckpointManager:
     def __init__(self, serialization_dir: str, mode: str = "max", keep: int = 10):
+        """``keep``: retain at most this many ``checkpoint_{it}`` dirs —
+        older ones are pruned after each save (``checkpoint_best`` is never
+        pruned). ``keep <= 0`` disables pruning. A 70k-iteration reference
+        run checkpointing every 2k steps would otherwise fill the disk."""
         self._dir = os.path.abspath(serialization_dir)
         os.makedirs(self._dir, exist_ok=True)
         self._mode = mode
+        self._keep = keep
         self._best_metric: Optional[float] = None
         self._ckpt = ocp.StandardCheckpointer()
 
@@ -46,6 +51,26 @@ class CheckpointManager:
         if improved:
             self._best_metric = float(metric)
             self.save(state, "checkpoint_best")
+        self._prune()
+
+    def _prune(self) -> None:
+        """Delete numbered checkpoints beyond the ``keep`` most recent."""
+        if self._keep <= 0:
+            return
+        its = sorted(self._iterations())
+        for it in its[:max(0, len(its) - self._keep)]:
+            for suffix in ("", ".config.yml"):
+                path = self._path(f"checkpoint_{it}{suffix}")
+                if os.path.isdir(path):
+                    import shutil
+
+                    shutil.rmtree(path, ignore_errors=True)
+                elif os.path.exists(path):
+                    os.remove(path)
+
+    def _iterations(self):
+        return [int(d.split("_")[1]) for d in os.listdir(self._dir)
+                if d.startswith("checkpoint_") and d.split("_")[1].isdigit()]
 
     def save(self, state, name: str) -> None:
         path = self._path(name)
@@ -60,8 +85,7 @@ class CheckpointManager:
             target_state)
 
     def latest_iteration(self) -> Optional[int]:
-        its = [int(d.split("_")[1]) for d in os.listdir(self._dir)
-               if d.startswith("checkpoint_") and d.split("_")[1].isdigit()]
+        its = self._iterations()
         return max(its) if its else None
 
 

@@ -156,3 +156,34 @@ def test_checkpoint_roundtrip(tmp_path):
     s_cont, m_cont = step(state, batch)
     s_rest, m_rest = step(restored, batch)
     np.testing.assert_allclose(float(m_cont["loss"]), float(m_rest["loss"]), rtol=1e-6)
+
+
+def test_checkpoint_retention_prunes_old_keeps_best(tmp_path):
+    """keep=2 retains only the 2 newest checkpoint_{it} dirs; checkpoint_best
+    survives pruning and still restores (VERDICT r1: keep was dead)."""
+    import os
+
+    from style_seqcvae_tpu.training.checkpointing import CheckpointManager
+
+    config = small_config()
+    params = init_captioner(jax.random.PRNGKey(0), CFG)
+    state, tx = create_train_state(params, config, CFG, jax.random.PRNGKey(1))
+
+    mgr = CheckpointManager(str(tmp_path / "ser"), keep=2)
+    # best metric lands on iteration 1 and never improves again
+    for it, metric in [(1, 0.9), (2, 0.1), (3, 0.2), (4, 0.3)]:
+        mgr.step(state, metric=metric, iteration=it, config_dump="X: 1\n")
+
+    names = sorted(os.listdir(tmp_path / "ser"))
+    assert "checkpoint_3" in names and "checkpoint_4" in names
+    assert "checkpoint_1" not in names and "checkpoint_2" not in names
+    assert "checkpoint_1.config.yml" not in names
+    assert "checkpoint_best" in names
+    assert mgr.latest_iteration() == 4
+
+    target, _ = create_train_state(
+        init_captioner(jax.random.PRNGKey(9), CFG), config, CFG,
+        jax.random.PRNGKey(2))
+    restored = mgr.restore("checkpoint_best", target)
+    np.testing.assert_array_equal(np.asarray(restored.params["embedding"]),
+                                  np.asarray(state.params["embedding"]))
