@@ -14,7 +14,13 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
 
 parser = argparse.ArgumentParser(description=__doc__)
-parser.add_argument("--instances-json", required=True)
+parser.add_argument("--instances-json", required=True, action="append",
+                    nargs="+",
+                    help="COCO instances json; repeat the flag (or pass "
+                         "several paths) to train on the union of datasets — "
+                         "the reference's combined_roidb multi-imdb merge "
+                         "('coco_2014_train+valminusminival', "
+                         "frcnn/lib/roi_data_layer/roidb.py:88-140)")
 parser.add_argument("--image-root", default="")
 parser.add_argument("--senticap-json", default="",
                     help="senticap json; its TEST images are excluded from training")
@@ -63,10 +69,12 @@ def main():
     random.seed(_A.seed)
     np.random.seed(_A.seed)
 
+    instances = [p for group in _A.instances_json for p in group]
     dataset = CocoDetectionDataset(
-        _A.instances_json, _A.image_root, _A.senticap_json, _A.attribs_dir)
-    print(f"{len(dataset)} training images, {dataset.num_classes} classes, "
-          f"{dataset.n_attribs} attributes")
+        instances, _A.image_root, _A.senticap_json, _A.attribs_dir)
+    print(f"{len(dataset)} training images ({len(instances)} instance "
+          f"json{'s' if len(instances) > 1 else ''}), "
+          f"{dataset.num_classes} classes, {dataset.n_attribs} attributes")
 
     det_cfg = DetectorConfig(
         num_classes=dataset.num_classes,

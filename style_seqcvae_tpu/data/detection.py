@@ -29,12 +29,41 @@ PIXEL_MEANS_BGR = np.array([102.9801, 115.9465, 122.7717], np.float32)
 
 
 class CocoDetectionDataset:
-    def __init__(self, instances_jsonpath: str, image_root: str = "",
+    def __init__(self, instances_jsonpath, image_root: str = "",
                  senticap_jsonpath: str = "", attribs_dir_path: str = "",
                  exclude_senticap_test: bool = True,
                  n_attribs: int = 0):
-        with open(instances_jsonpath) as f:
-            data = json.load(f)
+        """``instances_jsonpath``: one path or a list of paths. A list is the
+        multi-imdb training union of the reference (``combined_roidb`` merges
+        e.g. coco_2014_train+coco_2014_valminusminival,
+        frcnn/lib/roi_data_layer/roidb.py:88-140): images de-dup by id,
+        annotations de-dup by (image_id, ann id), and the category tables
+        must agree on every shared id (contiguous class ids come from the
+        sorted union — consistent across any subset ordering)."""
+        paths = ([instances_jsonpath] if isinstance(instances_jsonpath, str)
+                 else list(instances_jsonpath))
+        cats: Dict[int, str] = {}
+        images: Dict[int, dict] = {}
+        annotations: Dict[Tuple[int, int], dict] = {}
+        for path in paths:
+            with open(path) as f:
+                data = json.load(f)
+            for c in data["categories"]:
+                if c["id"] in cats and cats[c["id"]] != c["name"]:
+                    raise ValueError(
+                        f"category id {c['id']} is '{cats[c['id']]}' in one "
+                        f"instances json but '{c['name']}' in {path} — the "
+                        "union datasets must share a class table "
+                        "(roidb.py:117-124 consistency check)")
+                cats[c["id"]] = c["name"]
+            for im in data["images"]:
+                images.setdefault(im["id"], im)
+            for ann in data["annotations"]:
+                annotations.setdefault((ann["image_id"], ann["id"]), ann)
+        data = {"categories": [{"id": i, "name": n}
+                               for i, n in sorted(cats.items())],
+                "images": list(images.values()),
+                "annotations": list(annotations.values())}
 
         cat_ids = sorted(c["id"] for c in data["categories"])
         self.classes = ["__background__"] + [

@@ -136,12 +136,21 @@ def test_detector_cli_smoke(tmp_path):
                          "bbox": [int(x), int(y), 40, 40], "area": 1600,
                          "iscrowd": 0})
             aid += 1
-    (d / "inst.json").write_text(json.dumps(
-        {"images": images, "annotations": anns,
-         "categories": [{"id": 1, "name": "thing"}]}))
+    # two instance jsons (images 1-2 / 3-4) exercised as a training union —
+    # the reference's combined_roidb multi-imdb merge (roidb.py:88-140)
+    cats = [{"id": 1, "name": "thing"}]
+    (d / "inst_a.json").write_text(json.dumps(
+        {"images": images[:2],
+         "annotations": [a for a in anns if a["image_id"] <= 2],
+         "categories": cats}))
+    (d / "inst_b.json").write_text(json.dumps(
+        {"images": images[2:],
+         "annotations": [a for a in anns if a["image_id"] > 2],
+         "categories": cats}))
 
     out = _run(["scripts/train_detector.py", "--cpu",
-                "--instances-json", str(d / "inst.json"),
+                "--instances-json", str(d / "inst_a.json"),
+                "--instances-json", str(d / "inst_b.json"),
                 "--image-root", str(d),
                 "--serialization-dir", str(d / "ckpt"),
                 "--epochs", "1", "--steps-per-epoch", "4",

@@ -175,3 +175,47 @@ def test_canvas_for_aspect():
     assert canvas_for(portrait, (640, 1024)) == (1024, 640)
     assert canvas_for(portrait, (1024, 640)) == (1024, 640)
     assert canvas_for(landscape, (1024, 640)) == (640, 1024)
+
+
+def _inst_json(path, image_ids, cats, start_ann=1):
+    images = [{"id": i, "file_name": f"i{i}.jpg", "height": 64, "width": 64}
+              for i in image_ids]
+    anns, aid = [], start_ann
+    for i in image_ids:
+        anns.append({"id": aid, "image_id": i, "category_id": cats[0]["id"],
+                     "bbox": [4, 4, 20, 20], "area": 400, "iscrowd": 0})
+        aid += 1
+    path.write_text(json.dumps({"images": images, "annotations": anns,
+                                "categories": cats}))
+    return str(path)
+
+
+def test_detection_dataset_multi_json_union(tmp_path):
+    """List-of-paths = the reference's combined_roidb multi-imdb merge
+    (roidb.py:88-140): de-dup by image id, consistent contiguous classes."""
+    from style_seqcvae_tpu.data.detection import CocoDetectionDataset
+
+    cats = [{"id": 3, "name": "dog"}, {"id": 9, "name": "cat"}]
+    a = _inst_json(tmp_path / "a.json", [1, 2], cats, start_ann=1)
+    # image 2 repeats in the second json (same id) — must not duplicate
+    b = _inst_json(tmp_path / "b.json", [2, 5, 7], cats, start_ann=10)
+
+    ds = CocoDetectionDataset([a, b])
+    assert ds.image_ids == [1, 2, 5, 7]
+    assert ds.classes == ["__background__", "dog", "cat"]
+    assert ds.num_classes == 3
+    # single-path construction unchanged
+    ds_a = CocoDetectionDataset(a)
+    assert ds_a.image_ids == [1, 2]
+    # union record count: image 2 keeps one annotation set, no dupes
+    rec = ds.record(ds.image_ids.index(2))
+    assert rec["boxes"].shape[0] >= 1
+
+
+def test_detection_dataset_union_class_table_mismatch(tmp_path):
+    from style_seqcvae_tpu.data.detection import CocoDetectionDataset
+
+    a = _inst_json(tmp_path / "a.json", [1], [{"id": 3, "name": "dog"}])
+    b = _inst_json(tmp_path / "b.json", [2], [{"id": 3, "name": "cat"}])
+    with pytest.raises(ValueError, match="category id 3"):
+        CocoDetectionDataset([a, b])
