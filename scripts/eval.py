@@ -1,8 +1,9 @@
 #!/usr/bin/env python
 """Offline caption evaluation — CLI around the eval/eval.py port.
 
-Computes per-z-sample means + top-1 oracle BLEU/ROUGE/CIDEr (+METEOR when
-the jar is available), Div-1/2 (all and top-5-by-CIDEr) and sentiment
+Computes per-z-sample means + top-1 oracle BLEU/ROUGE/CIDEr/METEOR (the
+meteor-1.5 jar when configured, pure-Python exact+stem METEOR otherwise),
+Div-1/2 (all and top-5-by-CIDEr) and sentiment
 precision/recall/has-ANP. Consumes the same predictions JSON the inference
 script writes and COCO/Senticap-style reference JSONs."""
 

@@ -1,4 +1,4 @@
-"""Caption metrics: BLEU-1..4, ROUGE-L, CIDEr(-D-less), METEOR (gated).
+"""Caption metrics: BLEU-1..4, ROUGE-L, CIDEr(-D-less), METEOR.
 
 Self-contained implementations matching the pycocoevalcap algorithms the
 reference imports (eval/eval.py:10-13) — including their quirks:
@@ -12,9 +12,10 @@ reference imports (eval/eval.py:10-13) — including their quirks:
   ``ref_len = log(#images)``, clipped similarity, Gaussian length penalty
   (sigma=6), ×10 — including the pycocoevalcap quirk of counting sentence
   "length" from bigram totals.
-* METEOR requires the meteor-1.5 JVM jar; :class:`Meteor` uses it when
-  ``METEOR_JAR`` points at it and java is available, else raises — the
-  evaluation pipeline degrades gracefully (documented divergence).
+* METEOR: :class:`Meteor` uses the meteor-1.5 JVM jar when ``METEOR_JAR``
+  points at it and java is available (exact reference parity), else the
+  pure-Python exact+stem :class:`MeteorPy` (documented divergences in its
+  docstring) — the metric always computes offline.
 
 The ``compute_score(gts, res) -> (corpus_score, per_image_scores)``
 contract is identical to pycocoevalcap so the eval pipeline reads the same.
@@ -191,10 +192,97 @@ class Cider:
         return float(sum(scores) / len(scores)), scores
 
 
-class Meteor:
+def _porter_stem(word: str) -> str:
+    """Porter stem via nltk when importable (pure Python, no downloads),
+    identity otherwise."""
+    global _STEMMER
+    if _STEMMER is None:
+        try:
+            from nltk.stem.porter import PorterStemmer
+
+            _STEMMER = PorterStemmer().stem
+        except Exception:
+            _STEMMER = lambda w: w  # noqa: E731
+    return _STEMMER(word)
+
+
+_STEMMER = None
+
+
+class MeteorPy:
+    """Pure-Python METEOR — the offline replacement for the meteor-1.5 JVM
+    jar the reference's eval spawns (eval/eval.py:13,317-320 via
+    pycocoevalcap).
+
+    Scoring stages: **exact** then **Porter-stem** matching (position-greedy
+    within each stage, the nltk-meteor alignment), unigram F-mean
+    ``P·R / (α·P + (1-α)·R)`` with α=0.9, fragmentation penalty
+    ``γ·(chunks/m)^β`` with β=3, γ=0.5, score = Fmean·(1-penalty), max over
+    references; corpus score = mean over images.
+
+    Documented divergences from the jar (no JVM/WordNet offline): the
+    synonym and paraphrase stages are absent, and the 1.0-era parameters
+    above are used instead of meteor-1.5's tuned (α=0.85, β=0.2, γ=0.6,
+    δ=0.75 function-word weighting). Ranking behavior tracks the jar
+    closely on caption-length text; absolute values differ by a few points.
+    """
+
+    alpha, beta, gamma = 0.9, 3.0, 0.5
+
+    @staticmethod
+    def _align(hyp: List[str], ref: List[str]) -> List[Tuple[int, int]]:
+        """(hyp_idx, ref_idx) matches: exact stage then stem stage, each
+        greedy by hypothesis position over still-unmatched words."""
+        matches: List[Tuple[int, int]] = []
+        used_h = [False] * len(hyp)
+        used_r = [False] * len(ref)
+        for key in (lambda w: w, _porter_stem):
+            ref_keys = [key(w) for w in ref]
+            for i, hw in enumerate(hyp):
+                if used_h[i]:
+                    continue
+                hk = key(hw)
+                for j, rk in enumerate(ref_keys):
+                    if not used_r[j] and hk == rk:
+                        matches.append((i, j))
+                        used_h[i] = used_r[j] = True
+                        break
+        return sorted(matches)
+
+    @classmethod
+    def _count_chunks(cls, matches: List[Tuple[int, int]]) -> int:
+        chunks = 0
+        prev = None
+        for i, j in matches:
+            if prev is None or i != prev[0] + 1 or j != prev[1] + 1:
+                chunks += 1
+            prev = (i, j)
+        return chunks
+
+    @classmethod
+    def sentence_score(cls, hyp_words: List[str], ref_words: List[str]) -> float:
+        matches = cls._align(hyp_words, ref_words)
+        m = len(matches)
+        if m == 0 or not hyp_words or not ref_words:
+            return 0.0
+        p = m / len(hyp_words)
+        r = m / len(ref_words)
+        fmean = (p * r) / (cls.alpha * p + (1 - cls.alpha) * r)
+        frag = cls._count_chunks(matches) / m
+        return fmean * (1 - cls.gamma * frag ** cls.beta)
+
+    def compute_score(self, gts: Dict, res: Dict) -> Tuple[float, List[float]]:
+        scores = []
+        for i in gts:
+            hyp = res[i][0].split()
+            scores.append(max(self.sentence_score(hyp, ref.split())
+                              for ref in gts[i]))
+        return float(sum(scores) / len(scores)), scores
+
+
+class MeteorJava:
     """JVM METEOR wrapper (pycocoevalcap protocol). Requires java and the
-    meteor-1.5.jar (env ``METEOR_JAR``). Raises RuntimeError when absent —
-    callers gate on :func:`meteor_available`."""
+    meteor-1.5.jar (env ``METEOR_JAR``)."""
 
     def __init__(self):
         jar = os.environ.get("METEOR_JAR", "")
@@ -220,6 +308,24 @@ class Meteor:
         return final, scores
 
 
-def meteor_available() -> bool:
+class Meteor:
+    """METEOR with the pycocoevalcap ``compute_score`` protocol: the
+    meteor-1.5 jar when java + ``METEOR_JAR`` are present (exact parity with
+    the reference, eval/eval.py:317-320), the pure-Python :class:`MeteorPy`
+    otherwise — so the metric and its oracle column always compute."""
+
+    def __init__(self):
+        self._impl = MeteorJava() if _jvm_meteor_available() else MeteorPy()
+
+    def compute_score(self, gts: Dict, res: Dict) -> Tuple[float, List[float]]:
+        return self._impl.compute_score(gts, res)
+
+
+def _jvm_meteor_available() -> bool:
     jar = os.environ.get("METEOR_JAR", "")
     return bool(jar and os.path.exists(jar) and shutil.which("java"))
+
+
+def meteor_available() -> bool:
+    """Always true now that MeteorPy backs the jar-less case."""
+    return True

@@ -129,3 +129,82 @@ def test_full_evaluate_oracle_geq_mean():
         assert out[m] >= out[f"mean {m}"] - 1e-9, m
     assert "top5 Div-1" in out and "senti_prec" in out
     assert 0 <= out["Div-1"] <= 1
+
+
+# ---------------- pure-Python METEOR (MeteorPy) ----------------
+
+def test_meteorpy_perfect_match_penalty():
+    """Identical 6-word sentences: m=6, P=R=Fmean=1, one chunk →
+    score = 1 - 0.5*(1/6)^3 = 0.99768518..."""
+    from style_seqcvae_tpu.evaluation.metrics import MeteorPy
+
+    s = MeteorPy.sentence_score("the cat sat on the mat".split(),
+                                "the cat sat on the mat".split())
+    assert abs(s - (1 - 0.5 * (1 / 6) ** 3)) < 1e-12
+
+
+def test_meteorpy_fully_fragmented():
+    """Same words, scrambled order: all 6 matches are singleton chunks →
+    frag=1, penalty=0.5, score=0.5."""
+    from style_seqcvae_tpu.evaluation.metrics import MeteorPy
+
+    s = MeteorPy.sentence_score("on the mat sat the cat".split(),
+                                "the cat sat on the mat".split())
+    assert abs(s - 0.5) < 1e-12
+
+
+def test_meteorpy_stem_stage():
+    """cats/cat and running/runs match through the Porter-stem stage:
+    m=3 over 3/3 words, one chunk → 1 - 0.5*(1/3)^3."""
+    from style_seqcvae_tpu.evaluation.metrics import MeteorPy
+
+    s = MeteorPy.sentence_score("the cats running".split(),
+                                "the cat runs".split())
+    assert abs(s - (1 - 0.5 * (1 / 3) ** 3)) < 1e-12
+
+
+def test_meteorpy_partial_and_zero():
+    """hyp='the dog' vs ref='the cat sat': m=1, P=1/2, R=1/3,
+    Fmean=(1/6)/(0.9*0.5+0.1*(1/3)), frag=1 → score=Fmean*0.5; and a
+    no-overlap pair scores 0."""
+    from style_seqcvae_tpu.evaluation.metrics import MeteorPy
+
+    p, r = 0.5, 1 / 3
+    fmean = (p * r) / (0.9 * p + 0.1 * r)
+    s = MeteorPy.sentence_score("the dog".split(), "the cat sat".split())
+    assert abs(s - fmean * 0.5) < 1e-12
+    assert MeteorPy.sentence_score(["dog"], ["cat"]) == 0.0
+
+
+def test_meteorpy_compute_score_protocol_multi_ref_max():
+    from style_seqcvae_tpu.evaluation.metrics import Meteor, MeteorPy
+
+    gts = {1: ["a dog runs", "completely unrelated words here"],
+           2: ["the cat sat on the mat"]}
+    res = {1: ["a dog runs"], 2: ["the cat sat on the mat"]}
+    corpus, per_image = MeteorPy().compute_score(gts, res)
+    expected1 = 1 - 0.5 * (1 / 3) ** 3      # max over refs = the perfect one
+    expected2 = 1 - 0.5 * (1 / 6) ** 3
+    assert abs(per_image[0] - expected1) < 1e-12
+    assert abs(per_image[1] - expected2) < 1e-12
+    assert abs(corpus - (expected1 + expected2) / 2) < 1e-12
+
+    # the Meteor dispatcher serves MeteorPy when no jar is configured
+    corpus_d, _ = Meteor().compute_score(gts, res)
+    assert abs(corpus_d - corpus) < 1e-12
+
+
+def test_evaluate_includes_meteor_offline():
+    """The eval pipeline's METEOR column (reference eval/eval.py:317-320,
+    350-437) now computes without a JVM: mean + oracle keys present."""
+    from style_seqcvae_tpu.evaluation.eval import evaluate
+
+    preds = [{"image_id": 1, "caption": "a red dog runs"},
+             {"image_id": 1, "caption": "a dog"},
+             {"image_id": 2, "caption": "a blue cat sits"},
+             {"image_id": 2, "caption": "the cat"}]
+    gts = {1: ["a red dog runs fast"], 2: ["a blue cat sits down"]}
+    out = evaluate(preds, gts, wordforms={"w": ["red", "blue"]})
+    assert "meteor" in out and "mean meteor" in out
+    assert 0.0 <= out["mean meteor"] <= 1.0
+    assert out["meteor"] >= out["mean meteor"] - 1e-9  # oracle >= mean
