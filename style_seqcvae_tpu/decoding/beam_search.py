@@ -67,18 +67,29 @@ def beam_search(
     beam_size: int,
     per_node_beam_size: int = 0,
     end_index: int,
+    noise: jnp.ndarray = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Returns ``(predictions (B, K, T), log_probabilities (B, K))``.
 
     ``step_fn(tokens, state, rng) -> (log_probs, new_state)`` operates on
     tokens of shape (B, ...) with matching state leaves — the captioner's
-    grid-broadcasting step (captioner.make_step_fn)."""
+    grid-broadcasting step (captioner.make_step_fn).
+
+    ``noise``: optional precomputed z-noise, shape (max_steps, ...) with rows
+    broadcastable to the step grid + (z,) — e.g. (max_steps, 1, 1, z). When
+    given, rows are passed to the step fn instead of PRNG keys (the optimized
+    step fn treats a floating ``rng`` as the eps slice; same contract as
+    cbs_fast). Used by cross-framework parity tests that must share the
+    exact eps sequence with a torch reference."""
     K = beam_size
     pnbs = per_node_beam_size or beam_size
     B = start_tokens.shape[0]
 
     # --- first step: (B,) → top beam_size ---------------------------------
-    rng, k0 = jax.random.split(rng)
+    if noise is None:
+        rng, k0 = jax.random.split(rng)
+    else:
+        k0 = noise[0]
     start_lp, state = step_fn(start_tokens[:, None], _add_beam_dim(init_state), k0)
     start_lp = start_lp[:, 0, :]                       # (B, V)
     vocab = start_lp.shape[-1]
@@ -87,7 +98,8 @@ def beam_search(
     state = _tile_beam(state, K)
     last_preds = start_preds
 
-    step_keys = jax.random.split(rng, max_steps - 1)
+    step_keys = (jax.random.split(rng, max_steps - 1) if noise is None
+                 else noise[1:])
 
     def scan_step(carry, key):
         state, last_preds, last_lp = carry
@@ -115,14 +127,19 @@ def beam_search(
 
 
 def greedy_decode(step_fn, start_tokens, init_state, rng, *, max_steps: int,
-                  end_index: int) -> jnp.ndarray:
+                  end_index: int, noise=None) -> jnp.ndarray:
     """Greedy (beam=1) decode; returns (B, T). Equivalent to beam_size=1
-    beam search but cheaper (no topk bookkeeping)."""
+    beam search but cheaper (no topk bookkeeping). ``noise``: see
+    :func:`beam_search`."""
     B = start_tokens.shape[0]
-    rng, k0 = jax.random.split(rng)
+    if noise is None:
+        rng, k0 = jax.random.split(rng)
+    else:
+        k0 = noise[0]
     lp, state = step_fn(start_tokens[:, None], _add_beam_dim(init_state), k0)
     first = jnp.argmax(lp[:, 0, :], axis=-1)
-    step_keys = jax.random.split(rng, max_steps - 1)
+    step_keys = (jax.random.split(rng, max_steps - 1) if noise is None
+                 else noise[1:])
 
     def scan_step(carry, key):
         state, last = carry

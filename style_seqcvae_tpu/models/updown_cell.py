@@ -222,7 +222,13 @@ def cell_step(
         var = prior_var_b
         q_mean, q_log_var = mean, jnp.log(var)
 
-    eps = jax.random.normal(rng, mean.shape, dtype=mean.dtype)
+    if jnp.issubdtype(jnp.asarray(rng).dtype, jnp.floating):
+        # precomputed noise slice (broadcastable to the grid) — same contract
+        # as make_optimized_step_fn; used by parity tests sharing eps with a
+        # torch reference.
+        eps = jnp.broadcast_to(jnp.asarray(rng).astype(mean.dtype), mean.shape)
+    else:
+        eps = jax.random.normal(rng, mean.shape, dtype=mean.dtype)
     z = eps * jnp.sqrt(var) + mean
 
     # --- 5. decoder LSTM ---------------------------------------------------
