@@ -60,7 +60,8 @@ def attention_weights(params: AttentionParams, query: jnp.ndarray,
     projected_image_features: (B, N, P); image_features_mask: (B, N).
     Returns weights of shape (B, ..., N).
     """
-    proj_query = jnp.dot(query, params.w_query, preferred_element_type=jnp.float32)
+    proj_query = jnp.dot(query, params.w_query, preferred_element_type=jnp.float32
+                         ).astype(query.dtype)
     # Broadcast: (B, ..., 1, P) + (B, 1..., N, P)
     extra = proj_query.ndim - 2  # inner grid dims
     pv = projected_image_features.reshape(
