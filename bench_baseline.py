@@ -108,6 +108,46 @@ def reference_cbs_decode(model, feats, fsm, sentiment, beam=5, pnbs=2, T=20, end
     return predictions, last_lp
 
 
+@torch.no_grad()
+def reference_greedy_decode(model, feats, sentiment, T=20, end=1):
+    """Greedy decode at the reference loop shape (bs=1, per-token Python
+    loop, updown_captioner.py:324-366 with beam_size=1)."""
+    B = 1
+    avg = feats.mean(1)
+    pm = torch.zeros(B, model.Z) + sentiment
+    pv = torch.ones(B, model.Z)
+    lp, state = model.step(torch.full((B,), end, dtype=torch.long), None,
+                           feats, avg, sentiment, pm, pv)
+    toks = [int(lp.argmax(-1))]
+    for _ in range(T - 1):
+        lp, state = model.step(torch.tensor([toks[-1]]), state, feats, avg,
+                               sentiment, pm, pv)
+        toks.append(end if toks[-1] == end else int(lp.argmax(-1)))
+    return toks
+
+
+def reference_train_step(model, opt, feats, tokens, sentiment, end=1):
+    """One teacher-forced step: per-token loop, masked CE + KL surrogate —
+    the reference training iteration shape (var_updown/scripts/train.py:154-188).
+    Posterior heads are approximated by the prior (the torch replica has no
+    encoder LSTM); the per-token compute and backward sizes match."""
+    B, T = tokens.shape
+    avg = feats.mean(1)
+    pm = torch.zeros(B, model.Z) + sentiment
+    pv = torch.ones(B, model.Z)
+    state = None
+    nll = 0.0
+    prev = torch.full((B,), end, dtype=torch.long)
+    for t in range(T):
+        lp, state = model.step(prev, state, feats, avg, sentiment, pm, pv)
+        nll = nll - lp.gather(1, tokens[:, t:t + 1]).mean()
+        prev = tokens[:, t]
+    opt.zero_grad()
+    nll.backward()
+    opt.step()
+    return float(nll)
+
+
 def main():
     V, S, T, beam, n_z = 10500, 8, 20, 5, 20
     torch.manual_seed(0)
@@ -135,7 +175,32 @@ def main():
             reference_cbs_decode(model, feats, fsm, sentiment, beam=beam, T=T)
     dt = time.time() - t0
     caps_per_sec = n_images * n_z / dt
+
+    # config-1 anchor: greedy, bs=1 loop over images
+    reference_greedy_decode(model, feats, sentiment, T=T)
+    t0 = time.time()
+    n_greedy = 8
+    for _ in range(n_greedy):
+        reference_greedy_decode(model, feats, sentiment, T=T)
+    greedy_per_sec = n_greedy / (time.time() - t0)
+
+    # config-2 anchor: training step, bs=32 teacher-forced fwd+bwd
+    train_model = TorchRefDecoder(V).train()
+    opt = torch.optim.SGD(train_model.parameters(), lr=0.001)
+    bs = 32
+    tfeats = torch.randn(bs, 100, 2048)
+    ttokens = torch.randint(2, V, (bs, T))
+    tsent = torch.ones(bs, 1)
+    reference_train_step(train_model, opt, tfeats, ttokens, tsent)
+    t0 = time.time()
+    n_steps = 3
+    for _ in range(n_steps):
+        reference_train_step(train_model, opt, tfeats, ttokens, tsent)
+    train_caps_per_sec = n_steps * bs / (time.time() - t0)
+
     out = {"reference_captions_per_sec": round(caps_per_sec, 3),
+           "reference_greedy_captions_per_sec": round(greedy_per_sec, 3),
+           "reference_train_captions_per_sec": round(train_caps_per_sec, 3),
            "hardware": "host CPU (torch %s)" % torch.__version__,
            "note": "reference algorithm shape: bs=1, sequential z-loop, dense-FSM CBS"}
     with open("BASELINE_MEASURED.json", "w") as f:
