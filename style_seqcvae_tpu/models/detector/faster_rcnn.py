@@ -116,6 +116,15 @@ def _pool_rois(params, cfg: DetectorConfig, base_feat, rois_flat,
                                spatial_scale=1.0 / cfg.feat_stride,
                                pooled_height=cfg.pooling_size,
                                pooled_width=cfg.pooling_size, sampling_ratio=2)
+    elif cfg.pooling_mode == "crop":
+        # spatial-transformer mode (cfg.POOLING_MODE == 'crop',
+        # net_utils.py:87-135): affine grid + bilinear sample + 2x2 max-pool
+        from style_seqcvae_tpu.ops.roi_crop import roi_crop
+
+        pooled = roi_crop(base_feat, rois_flat,
+                          spatial_scale=1.0 / cfg.feat_stride,
+                          pooled_height=cfg.pooling_size,
+                          pooled_width=cfg.pooling_size, max_pool=True)
     else:
         pooled = roi_pool(base_feat, rois_flat, spatial_scale=1.0 / cfg.feat_stride,
                           pooled_height=cfg.pooling_size, pooled_width=cfg.pooling_size)

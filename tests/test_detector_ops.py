@@ -148,3 +148,87 @@ def test_clip_and_overlaps():
     b = jnp.asarray([[0, 0, 9, 9], [5, 0, 14, 9], [20, 20, 29, 29]], jnp.float32)
     iou = np.asarray(bbox_overlaps(a, b))[0]
     np.testing.assert_allclose(iou, [1.0, 50 / 150, 0.0], atol=1e-6)
+
+
+class TestRoiCrop:
+    """RoICrop (pooling_mode='crop'): affine-grid + bilinear sampler golden
+    against torch F.affine_grid/F.grid_sample(align_corners=True), the exact
+    ops the reference composes in _crop_pool_layer (net_utils.py:87-135)."""
+
+    def _fixture(self):
+        rng = np.random.RandomState(0)
+        feats = rng.randn(2, 12, 16, 3).astype(np.float32)
+        rois = np.array([
+            [0, 8.0, 4.0, 120.0, 90.0],
+            [1, 0.0, 0.0, 60.0, 60.0],
+            [0, 32.0, 16.0, 200.0, 150.0],
+        ], np.float32)
+        return feats, rois
+
+    def test_matches_torch_stn(self):
+        import torch
+        import torch.nn.functional as TF
+
+        from style_seqcvae_tpu.ops.roi_crop import (
+            affine_grid, affine_theta, grid_sample)
+
+        feats, rois = self._fixture()
+        H, W, scale, G = 12, 16, 1.0 / 16.0, 14
+
+        theta_j = affine_theta(jnp.asarray(rois), H, W, scale)
+        grid_j = affine_grid(theta_j, G, G)
+        out_j = grid_sample(jnp.asarray(feats), jnp.asarray(rois[:, 0]), grid_j)
+
+        # torch side: identical theta formula (net_utils.py:93-101)
+        x1 = torch.from_numpy(rois[:, 1] * scale)
+        y1 = torch.from_numpy(rois[:, 2] * scale)
+        x2 = torch.from_numpy(rois[:, 3] * scale)
+        y2 = torch.from_numpy(rois[:, 4] * scale)
+        zero = torch.zeros_like(x1)
+        theta_t = torch.stack([
+            torch.stack([(x2 - x1) / (W - 1), zero,
+                         (x1 + x2 - W + 1) / (W - 1)], 1),
+            torch.stack([zero, (y2 - y1) / (H - 1),
+                         (y1 + y2 - H + 1) / (H - 1)], 1)], 1)
+        grid_t = TF.affine_grid(theta_t, torch.Size((3, 1, G, G)),
+                                align_corners=True)
+        bottom = torch.from_numpy(feats).permute(0, 3, 1, 2)[
+            rois[:, 0].astype(int)]
+        out_t = TF.grid_sample(bottom, grid_t, align_corners=True,
+                               padding_mode="zeros").permute(0, 2, 3, 1)
+
+        np.testing.assert_allclose(np.asarray(grid_j),
+                                   grid_t.numpy(), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(out_j), out_t.numpy(), atol=1e-5)
+
+    def test_crop_pool_layer_shape_and_grad(self):
+        from style_seqcvae_tpu.ops.roi_crop import roi_crop
+
+        feats, rois = self._fixture()
+
+        def f(x):
+            return jnp.sum(roi_crop(x, jnp.asarray(rois), spatial_scale=1 / 16.0,
+                                    pooled_height=7, pooled_width=7) ** 2)
+
+        out = roi_crop(jnp.asarray(feats), jnp.asarray(rois),
+                       spatial_scale=1 / 16.0, pooled_height=7, pooled_width=7)
+        assert out.shape == (3, 7, 7, 3)
+        g = jax.grad(f)(jnp.asarray(feats))
+        assert np.isfinite(np.asarray(g)).all() and float(jnp.sum(jnp.abs(g))) > 0
+
+    def test_detector_forward_crop_mode(self):
+        """pooling_mode='crop' flows through the detector forward."""
+        from style_seqcvae_tpu.models.detector.faster_rcnn import (
+            DetectorConfig, detector_forward_test, init_detector)
+        from style_seqcvae_tpu.models.detector.rpn import RPNConfig
+
+        cfg = DetectorConfig(num_classes=5, num_att_classes=4,
+                             pooling_mode="crop",
+                             rpn=RPNConfig())
+        params = init_detector(jax.random.PRNGKey(0), cfg)
+        rng = np.random.RandomState(0)
+        images = jnp.asarray(rng.rand(1, 64, 80, 3).astype(np.float32) * 255)
+        info = jnp.asarray([[64.0, 80.0, 1.0]], np.float32)
+        out = detector_forward_test(params, cfg, images, info,
+                                    post_nms_top_n=10, pre_nms_top_n=50)
+        assert np.isfinite(np.asarray(out["pooled_feat"])).all()
