@@ -119,6 +119,7 @@ def constrained_beam_search_fast(
     end_index: int,
     raw_step: bool = False,
     noise: "Optional[jnp.ndarray]" = None,
+    fused_vocab_topk: "Optional[bool]" = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Same contract as :func:`style_seqcvae_tpu.decoding.cbs.
     constrained_beam_search`: returns ((B, S, K, T), (B, S, K)).
@@ -128,11 +129,26 @@ def constrained_beam_search_fast(
     logits and only the few selected values get the -logz correction —
     no (G, V) log_softmax materialization. End-token freezing is applied
     post-selection (valid because the end token is never a constraint
-    wordform, so it always takes the default transition)."""
+    wordform, so it always takes the default transition).
+
+    ``fused_vocab_topk`` (opt-in; measured slower on v5e — see inline
+    note): the per-step masked top-k + logsumexp collapse into ONE Pallas
+    pass over the (B·S·K, V) logits (ops/pallas/topk_lse.py): the kernel
+    returns the unmasked top-(pnbs+E) + logsumexp, and exceptions are
+    filtered afterwards on the tiny (·, pnbs+E) tensors — exact, since a
+    state has at most E exception tokens. The step's own logz output is
+    unused in this mode and dead-code-eliminated."""
     B, S = fsm.default_dest.shape
     E = fsm.exc_token.shape[-1]
     K = beam_size
     pnbs = per_node_beam_size or beam_size
+    on_tpu = jax.default_backend() == "tpu"
+    # Measured on one v5e at production shapes: the fused Pallas pass is
+    # SLOWER end-to-end (704 vs 940 captions/s) — the custom call is a
+    # fusion barrier (logits must materialize instead of fusing into XLA's
+    # masked k=2 argmax chain). Kept as an opt-in for future re-evaluation;
+    # default stays on the XLA path.
+    fused = bool(fused_vocab_topk)
 
     states_iota = jnp.arange(S, dtype=jnp.int32)
 
@@ -199,7 +215,35 @@ def constrained_beam_search_fast(
     def scan_step(carry, key):
         state, last_preds, last_lp = carry
         out, new_state = step_fn(last_preds, state, key)         # (B, S, K, V)
-        if raw_step:
+        if raw_step and fused:
+            logits, _ = out          # step's logz unused here → DCE'd
+            from style_seqcvae_tpu.ops.pallas.topk_lse import top_k_with_lse
+
+            k_tot = pnbs + E
+            tvals, tidx, lse = top_k_with_lse(
+                logits.reshape(B * S * K, V), k_tot, interpret=not on_tpu)
+            tvals = tvals.reshape(B, S, K, k_tot)
+            tidx = tidx.reshape(B, S, K, k_tot)
+            logz = lse.reshape(B, S, K)
+            # filter exceptions out of the unmasked top-(pnbs+E) — exact,
+            # since at most E exception tokens exist per state
+            is_exc = jnp.any(
+                (tidx[..., :, None] == fsm.exc_token[:, :, None, None, :])
+                & fsm.exc_valid[:, :, None, None, :], axis=-1)
+            def_l, pos = small_top_k(jnp.where(is_exc, MASK_VAL, tvals), pnbs)
+            def_cls = jnp.take_along_axis(tidx, pos, axis=-1)
+            def_lp = def_l - logz[..., None]
+            exc_l = jnp.einsum("bskv,bsev->bske", logits,
+                               exc_onehot.astype(logits.dtype),
+                               preferred_element_type=jnp.float32)
+            exc_lp = exc_l - logz[..., None]
+            exc_lp = jnp.where(fsm.exc_valid[:, :, None, :], exc_lp, MASK_VAL)
+            # end freezing post-selection: ended beams emit end with lp 0
+            ended = (last_preds == end_index)[..., None]
+            def_lp = jnp.where(ended, end_pattern, def_lp)
+            def_cls = jnp.where(ended, end_index, def_cls)
+            exc_lp = jnp.where(ended, MASK_VAL, exc_lp)
+        elif raw_step:
             logits, logz = out
             # ONE full-vocab top-k on RAW logits (same order as log-probs)…
             def_l, def_cls = small_top_k(
