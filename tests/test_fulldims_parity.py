@@ -340,3 +340,82 @@ def _torch_single(model, feats_np, fsm, eps, beam, pnbs):
     """torch_cbs_decode over one image (the reference's bs=1 loop shape)."""
     return torch_cbs_decode(model, torch.from_numpy(feats_np), fsm,
                             torch.from_numpy(eps), beam, pnbs)
+
+
+class TestFullDimsMode2Parity:
+    """Mode-2 (SentiGloVe latent dictionary) at full dims: the per-step
+    attention-weighted attribute-embedding prior (updown_captioner.py:76-93,
+    :250-258) feeds both the z draw and the decoder conditioning; greedy
+    decode must be token-identical between torch reference wiring and the
+    imported JAX captioner."""
+
+    def test_mode2_greedy_token_identical(self):
+        T2 = 10
+        cfg2 = CaptionerConfig(
+            vocab_size=V, image_feature_size=F, embedding_size=E,
+            hidden_size=H, attention_projection_size=P, z_space=Z,
+            sentiment_vae=2, simple_vae=False, latent_embedding="glove",
+            max_caption_length=T2)
+
+        torch.manual_seed(11)
+        tmodel = TorchRefCaptioner()
+        # widen the decoder for the Z-wide conditioning segment
+        tmodel._updown_cell._language_lstm_cell_decoder = torch.nn.LSTMCell(
+            F + 2 * H + Z + Z, H)
+
+        params = init_captioner(jax.random.PRNGKey(0), cfg2)
+        params = import_captioner_state_dict(tmodel.state_dict(), params)
+
+        rng = np.random.RandomState(9)
+        feats = rng.randn(B, N, F).astype(np.float32)
+        oae = rng.randn(B, N, Z).astype(np.float32)
+        eps = rng.randn(T2, Z).astype(np.float32)
+
+        ctx = make_decode_context(params, cfg2, jnp.asarray(feats),
+                                  obj_att_embeds=jnp.asarray(oae))
+        step = make_optimized_step_fn(params, cfg2, ctx)
+        noise = jnp.broadcast_to(
+            jnp.asarray(eps).reshape(T2, 1, 1, Z), (T2, 1, 1, Z))
+        jax_toks = np.asarray(greedy_decode(
+            step, jnp.full((B,), END), init_cell_state((B,), H),
+            jax.random.PRNGKey(0), max_steps=T2, end_index=END, noise=noise))
+
+        @torch.no_grad()
+        def torch_step(tokens, states, feats_t, oae_t, eps_t):
+            g = tokens.shape[0]
+            if states is None:
+                zero = feats_t.new_zeros((g, H))
+                states = {k: zero.clone() for k in ("h1", "c1", "hd", "cd")}
+            avg = feats_t.mean(1)
+            e = tmodel._embedding_layer(tokens)
+            h1, c1 = tmodel._updown_cell._attention_lstm_cell(
+                torch.cat([e, avg, states["h1"], states["hd"]], 1),
+                (states["h1"], states["c1"]))
+            butd = tmodel._updown_cell._butd_attention
+            alpha = torch.softmax(butd._attention_layer(torch.tanh(
+                butd._query_vector_projection_layer(h1).unsqueeze(1)
+                + butd._image_features_projection_layer(feats_t))).squeeze(-1), -1)
+            att = (alpha.unsqueeze(-1) * feats_t).sum(1)
+            pm = (alpha.unsqueeze(-1) * oae_t).sum(1)      # attended prior
+            z = eps_t.unsqueeze(0) + pm                    # prior_std = 1
+            hd, cd = tmodel._updown_cell._language_lstm_cell_decoder(
+                torch.cat([att, h1, states["hd"], pm, z], 1),
+                (states["hd"], states["cd"]))
+            logits = (torch.tanh(tmodel._output_projection(hd))
+                      @ tmodel._embedding_layer.weight.T)
+            return (torch.log_softmax(logits, -1),
+                    {"h1": h1, "c1": c1, "hd": hd, "cd": cd})
+
+        torch_toks = []
+        for b in range(B):
+            ft = torch.from_numpy(feats[b:b + 1])
+            ot = torch.from_numpy(oae[b:b + 1])
+            lp, state = torch_step(torch.full((1,), END, dtype=torch.long),
+                                   None, ft, ot, torch.from_numpy(eps[0]))
+            toks = [int(lp.argmax(-1))]
+            for t in range(1, T2):
+                lp, state = torch_step(torch.tensor([toks[-1]]), state, ft, ot,
+                                       torch.from_numpy(eps[t]))
+                toks.append(END if toks[-1] == END else int(lp.argmax(-1)))
+            torch_toks.append(toks)
+        np.testing.assert_array_equal(jax_toks, np.asarray(torch_toks))
