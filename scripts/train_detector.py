@@ -40,6 +40,11 @@ parser.add_argument("--bf16-compute", action="store_true",
 parser.add_argument("--num-data", type=int, default=1,
                     help="data-parallel mesh size; shards --ims-per-batch "
                          "over chips (-1 = all devices)")
+parser.add_argument("--remat", action="store_true",
+                    help="rematerialize backbone bottlenecks + chunk RoI "
+                         "pooling in the backward (trades ~10%% step time "
+                         "for activation memory; use for larger canvases/"
+                         "batches)")
 parser.add_argument("--cpu", action="store_true")
 parser.add_argument("--seed", type=int, default=3)
 
@@ -100,7 +105,7 @@ def main():
             bbox_normalize_means=tuple(D.TRAIN.BBOX_NORMALIZE_MEANS),
             bbox_normalize_stds=tuple(D.TRAIN.BBOX_NORMALIZE_STDS),
             num_classes=dataset.num_classes),
-        att_loss_weight=D.ATT_LOSS_WEIGHT)
+        att_loss_weight=D.ATT_LOSS_WEIGHT, remat=_A.remat)
 
     params = init_detector(jax.random.PRNGKey(_A.seed), det_cfg)
     steps_per_epoch = _A.steps_per_epoch or len(dataset)

@@ -53,6 +53,7 @@ class DetectorConfig(NamedTuple):
     cb_beta: float = 0.9                 # faster_rcnn.py:195 call site
     cb_gamma: float = 1.0
     att_loss_weight: float = 0.5         # trainval_net.py:345-346
+    remat: bool = False                  # checkpoint backbone bottlenecks
 
     @property
     def num_anchors(self) -> int:
@@ -96,11 +97,33 @@ def _backbone(params, cfg: DetectorConfig, images):
         from style_seqcvae_tpu.models.detector import vgg
 
         return vgg.backbone(params["vgg"], images)
-    return resnet.backbone(params["resnet"], images)
+    return resnet.backbone(params["resnet"], images, remat=cfg.remat)
 
 
 def _pool_rois(params, cfg: DetectorConfig, base_feat, rois_flat,
                inference: bool = False):
+    if cfg.remat and not inference and cfg.pooling_mode == "align":
+        # The XLA-gather RoIAlign materializes the 4-corner sampled tensor
+        # (R, 7, 7, S, S, 4, C) — ~6.6 GB bf16 at bs=16 — before reducing.
+        # Under remat, map over roi chunks sequentially (peak = one chunk)
+        # and recompute per chunk in the backward.
+        R = rois_flat.shape[0]
+        n_chunks = max(1, R // 512)
+        if R % n_chunks == 0:
+            chunks = rois_flat.reshape(n_chunks, R // n_chunks, 5)
+            pooled = jax.lax.map(
+                jax.checkpoint(lambda r: roi_align(
+                    base_feat, r, spatial_scale=1.0 / cfg.feat_stride,
+                    pooled_height=cfg.pooling_size,
+                    pooled_width=cfg.pooling_size, sampling_ratio=2)),
+                chunks)
+            pooled = pooled.reshape((R,) + pooled.shape[2:])
+            pooled = pooled.astype(base_feat.dtype)
+            if cfg.backbone == "vgg16":
+                from style_seqcvae_tpu.models.detector import vgg
+
+                return vgg.head_to_tail(params["vgg"], pooled)
+            return resnet.head_to_tail(params["resnet"], pooled)
     if cfg.pooling_mode == "align":
         if inference and jax.default_backend() == "tpu":
             # forward-only Pallas kernel (exact; no vjp — training uses the

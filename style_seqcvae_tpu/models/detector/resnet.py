@@ -88,21 +88,28 @@ def _bottleneck(x, p, stride):
     return jax.nn.relu(out + x)
 
 
-def _layer(x, blocks, first_stride):
+def _layer(x, blocks, first_stride, remat: bool = False):
+    fn = _bottleneck
+    if remat:
+        # rematerialize each bottleneck's internals in the backward pass:
+        # only block outputs are saved, trading ~30% extra forward FLOPs for
+        # the activation memory that otherwise caps the train batch (HBM OOM
+        # at bs=16 on one 16 GB v5e without this)
+        fn = jax.checkpoint(_bottleneck, static_argnums=(2,))
     for bi, p in enumerate(blocks):
-        x = _bottleneck(x, p, first_stride if bi == 0 else 1)
+        x = fn(x, p, first_stride if bi == 0 else 1)
     return x
 
 
-def backbone(params, images: jnp.ndarray) -> jnp.ndarray:
+def backbone(params, images: jnp.ndarray, remat: bool = False) -> jnp.ndarray:
     """images (B, H, W, 3) BGR mean-subtracted → C4 features (B, H/16, W/16, 1024)."""
     x = jax.nn.relu(_bn(_conv(images, params["conv1"], stride=2, padding=[(3, 3), (3, 3)]),
                         params["bn1"]))
     x = jax.lax.reduce_window(x, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
                               [(0, 0), (1, 1), (1, 1), (0, 0)])
-    x = _layer(x, params["layer1"], 1)
-    x = _layer(x, params["layer2"], 2)
-    x = _layer(x, params["layer3"], 2)
+    x = _layer(x, params["layer1"], 1, remat)
+    x = _layer(x, params["layer2"], 2, remat)
+    x = _layer(x, params["layer3"], 2, remat)
     return x
 
 

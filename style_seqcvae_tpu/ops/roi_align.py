@@ -83,9 +83,29 @@ def roi_align(features: jnp.ndarray, rois: jnp.ndarray, *,
     flat = features.reshape(B * H * W, C)
     base = (batch_idx * H * W)[:, None, None, None, None, None]
     idx = base + ys * W + xs                          # (R, PH, PW, S, S, 4)
-    vals = flat[idx.reshape(-1)].reshape(idx.shape + (C,))
-    out = jnp.sum(vals * wts[..., None], axis=-2)     # bilinear combine
-    return jnp.mean(out, axis=(-3, -2))               # average the S×S samples
+    # Accumulate the 4 bilinear corners sequentially (the sample-mean 1/S²
+    # folds into the weights): the corner gather intermediate shrinks from
+    # (R, PH, PW, S, S, 4, C) to one corner's worth — at detector-training
+    # shapes (R=2048, C=1024) that is 6.6 GB → 1.65 GB of peak HBM, the
+    # difference between bs=8 fitting one v5e and OOM. Same values up to
+    # summation order.
+    wts_scaled = wts / (S * S)
+    # lax.scan (not a Python loop) so the gathers execute strictly one at a
+    # time — an unrolled loop lets XLA hoist all 4 corner gathers and hold
+    # them simultaneously.
+    idx_t = jnp.moveaxis(idx, -1, 0)                  # (4, R, PH, PW, S, S)
+    wts_t = jnp.moveaxis(wts_scaled, -1, 0)
+
+    def corner_step(acc, xs):
+        idx_c, w_c = xs
+        v = flat[idx_c.reshape(-1)].reshape(idx_c.shape + (C,))
+        # v (feature dtype) × f32 weights → f32 accumulation, matching the
+        # original single-gather formulation's promotion
+        return acc + jnp.sum(v * w_c[..., None], axis=(-3, -2)), None
+
+    init = jnp.zeros((R, pooled_height, pooled_width, C), jnp.float32)
+    out, _ = jax.lax.scan(corner_step, init, (idx_t, wts_t))
+    return out
 
 
 def roi_pool(features: jnp.ndarray, rois: jnp.ndarray, *, spatial_scale: float,

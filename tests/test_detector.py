@@ -164,3 +164,27 @@ def test_trainable_labels_freeze_backbone():
     assert by_path["cls_score/w"] == "always"
     # BN stats frozen everywhere
     assert all(v == "never" for k, v in by_path.items() if k.endswith("/mean"))
+
+
+def test_remat_mode_matches_nonremat():
+    """cfg.remat (backbone bottleneck checkpointing + chunked RoI pooling)
+    must not change the computed losses or gradients — it only trades
+    recompute for activation memory."""
+    cfg = tiny_cfg()
+    cfg_r = cfg._replace(remat=True)
+    params = init_detector(jax.random.PRNGKey(0), cfg)
+    batch = make_batch(np.random.RandomState(2))
+
+    def loss_fn(c):
+        def f(p):
+            return detector_forward_train(p, c, batch, jax.random.PRNGKey(3))["total"]
+        return f
+
+    l0, g0 = jax.value_and_grad(loss_fn(cfg))(params)
+    l1, g1 = jax.value_and_grad(loss_fn(cfg_r))(params)
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-5)
+    flat0 = jax.tree_util.tree_leaves(g0)
+    flat1 = jax.tree_util.tree_leaves(g1)
+    for a, b in zip(flat0, flat1):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-5)
