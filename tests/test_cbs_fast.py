@@ -283,3 +283,27 @@ def test_trimmed_destination_tokens_stay_dead():
         jax.random.PRNGKey(0), max_steps=5, beam_size=2, end_index=END)
     # state-0 beams (reachable) must not contain "fire"
     assert fire not in set(np.asarray(seqs)[0, 0].reshape(-1).tolist())
+
+
+def test_randomized_fsm_equivalence_sweep():
+    """Property sweep: cbs_fast must equal the dense reference-semantics CBS
+    on randomly generated FSMs (random exception counts, destinations,
+    shared wordforms, unreachable states)."""
+    rng = np.random.RandomState(123)
+    V = 60
+    for trial in range(8):
+        S = int(rng.choice([2, 4, 8]))
+        fsms = []
+        for _ in range(2):  # batch of 2
+            f = np.zeros((S, S, V), np.uint8)
+            for s in range(S):
+                f[s, s, :] = 1
+            n_exc = rng.randint(1, 5)
+            for _ in range(n_exc):
+                s = rng.randint(S)
+                d = rng.randint(S)
+                t = rng.randint(2, V)
+                f[s, :, t] = 0
+                f[s, d, t] = 1
+            fsms.append(f)
+        compare(fsms, V, T=5, K=3, pnbs=2, seed=trial)
