@@ -395,7 +395,7 @@ def bench_diverse_oracle(batch=16, n_z=20, steps=3):
 # Config 5: end-to-end raw images → detector extraction → CBS captions
 # --------------------------------------------------------------------------
 
-def bench_e2e(batch=8, n_z=20, beam=5, steps=3):
+def bench_e2e(batch=16, n_z=20, beam=5, steps=3):
     import jax
     import jax.numpy as jnp
 

@@ -127,7 +127,8 @@ def _pool_rois(params, cfg: DetectorConfig, base_feat, rois_flat,
     if cfg.pooling_mode == "align":
         if inference and jax.default_backend() == "tpu":
             # forward-only Pallas kernel (exact; no vjp — training uses the
-            # differentiable XLA gather)
+            # differentiable XLA gather); channel-split grid keeps the VMEM
+            # window batch-size-independent
             from style_seqcvae_tpu.ops.pallas.roi_align import roi_align_pallas
 
             pooled = roi_align_pallas(

@@ -90,16 +90,29 @@ def roi_align_pallas(features: jnp.ndarray, rois: jnp.ndarray, *,
     R = rois.shape[0]
     batch_idx = rois[:, 0].astype(jnp.int32)
 
+    # Channel-split grid: the (1, H, W, c_block) feature window must fit the
+    # ~16 MB scoped-VMEM budget double-buffered. A full-C block of a
+    # 608×928 canvas map is 9.0 MB — fine at small batch, but Mosaic's
+    # buffering pushed it past the budget at extraction bs=16; capping the
+    # block at ≤4 MB keeps the kernel batch-size-independent. RoIAlign is
+    # pointwise across channels, so the split is free.
+    c_block = C
+    while c_block > 128 and H * W * c_block * 4 > 4 * 2 ** 20:
+        c_block //= 2
+    n_c = C // c_block if C % c_block == 0 else 1
+    if n_c == 1:
+        c_block = C
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,            # batch_idx (index_map) + flat rois
-        grid=(R,),
+        grid=(R, n_c),
         in_specs=[
-            pl.BlockSpec((1, H, W, C),
-                         lambda r, bidx, rflat: (bidx[r], 0, 0, 0),
+            pl.BlockSpec((1, H, W, c_block),
+                         lambda r, c, bidx, rflat: (bidx[r], 0, 0, c),
                          memory_space=pl.ANY if interpret else pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, pooled_height, pooled_width, C),
-                               lambda r, bidx, rflat: (r, 0, 0, 0),
+        out_specs=pl.BlockSpec((1, pooled_height, pooled_width, c_block),
+                               lambda r, c, bidx, rflat: (r, 0, 0, c),
                                memory_space=pl.ANY if interpret else pltpu.VMEM),
     )
     return pl.pallas_call(
