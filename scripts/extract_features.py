@@ -25,7 +25,7 @@ parser.add_argument("--detections-output", default="",
                          "(the reference's detections.pkl / "
                          "evaluate_detections path, test_net.py:560-567)")
 parser.add_argument("--canvas", type=int, nargs=2, default=[640, 1024])
-parser.add_argument("--batch-size", type=int, default=8,
+parser.add_argument("--batch-size", type=int, default=16,
                     help="images per device dispatch (grouped by canvas "
                          "orientation; amortizes per-dispatch latency)")
 parser.add_argument("--max-images", type=int, default=0)
