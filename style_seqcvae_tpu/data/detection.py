@@ -36,10 +36,13 @@ class CocoDetectionDataset:
         """``instances_jsonpath``: one path or a list of paths. A list is the
         multi-imdb training union of the reference (``combined_roidb`` merges
         e.g. coco_2014_train+coco_2014_valminusminival,
-        frcnn/lib/roi_data_layer/roidb.py:88-140): images de-dup by id,
-        annotations de-dup by (image_id, ann id), and the category tables
-        must agree on every shared id (contiguous class ids come from the
-        sorted union — consistent across any subset ordering)."""
+        frcnn/lib/roi_data_layer/roidb.py:88-140): images de-dup by id with
+        first-json-wins semantics — an image seen in an earlier json keeps
+        ONLY that json's annotations (later jsons may re-number ann ids for
+        the same boxes, so keying on (image_id, ann_id) alone would double
+        the GT boxes of shared images) — and the category tables must agree
+        on every shared id (contiguous class ids come from the sorted
+        union — consistent across any subset ordering)."""
         paths = ([instances_jsonpath] if isinstance(instances_jsonpath, str)
                  else list(instances_jsonpath))
         cats: Dict[int, str] = {}
@@ -56,10 +59,14 @@ class CocoDetectionDataset:
                         "union datasets must share a class table "
                         "(roidb.py:117-124 consistency check)")
                 cats[c["id"]] = c["name"]
+            new_ids = set()
             for im in data["images"]:
-                images.setdefault(im["id"], im)
+                if im["id"] not in images:
+                    images[im["id"]] = im
+                    new_ids.add(im["id"])
             for ann in data["annotations"]:
-                annotations.setdefault((ann["image_id"], ann["id"]), ann)
+                if ann["image_id"] in new_ids:
+                    annotations.setdefault((ann["image_id"], ann["id"]), ann)
         data = {"categories": [{"id": i, "name": n}
                                for i, n in sorted(cats.items())],
                 "images": list(images.values()),

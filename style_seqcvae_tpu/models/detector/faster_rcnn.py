@@ -109,21 +109,24 @@ def _pool_rois(params, cfg: DetectorConfig, base_feat, rois_flat,
         # and recompute per chunk in the backward.
         R = rois_flat.shape[0]
         n_chunks = max(1, R // 512)
-        if R % n_chunks == 0:
-            chunks = rois_flat.reshape(n_chunks, R // n_chunks, 5)
-            pooled = jax.lax.map(
-                jax.checkpoint(lambda r: roi_align(
-                    base_feat, r, spatial_scale=1.0 / cfg.feat_stride,
-                    pooled_height=cfg.pooling_size,
-                    pooled_width=cfg.pooling_size, sampling_ratio=2)),
-                chunks)
-            pooled = pooled.reshape((R,) + pooled.shape[2:])
-            pooled = pooled.astype(base_feat.dtype)
-            if cfg.backbone == "vgg16":
-                from style_seqcvae_tpu.models.detector import vgg
+        pad = (-R) % n_chunks     # pad rather than silently skip chunking
+        rois_p = (jnp.concatenate(
+            [rois_flat, jnp.zeros((pad, 5), rois_flat.dtype)], axis=0)
+            if pad else rois_flat)
+        chunks = rois_p.reshape(n_chunks, (R + pad) // n_chunks, 5)
+        pooled = jax.lax.map(
+            jax.checkpoint(lambda r: roi_align(
+                base_feat, r, spatial_scale=1.0 / cfg.feat_stride,
+                pooled_height=cfg.pooling_size,
+                pooled_width=cfg.pooling_size, sampling_ratio=2)),
+            chunks)
+        pooled = pooled.reshape((R + pad,) + pooled.shape[2:])[:R]
+        pooled = pooled.astype(base_feat.dtype)
+        if cfg.backbone == "vgg16":
+            from style_seqcvae_tpu.models.detector import vgg
 
-                return vgg.head_to_tail(params["vgg"], pooled)
-            return resnet.head_to_tail(params["resnet"], pooled)
+            return vgg.head_to_tail(params["vgg"], pooled)
+        return resnet.head_to_tail(params["resnet"], pooled)
     if cfg.pooling_mode == "align":
         if inference and jax.default_backend() == "tpu":
             # forward-only Pallas kernel (exact; no vjp — training uses the

@@ -141,6 +141,12 @@ _PARAM_SPEC_TABLE = (
     (("fc_mean_b",), P(), False),
     (("fc_log_var_w",), P(), True),
     (("fc_log_var_b",), P(), False),
+    # tied-embedding head (embedding_size 300/600 → the production shape):
+    # h → Linear(H, E) → tanh → ·embᵀ. The (H, E) projection is small —
+    # replicate (FSDP-eligible); the vocab dimension is already covered by
+    # the sharded embedding table.
+    (("output_projection", "w"), P(), True),
+    (("output_projection", "b"), P(), False),
 )
 
 

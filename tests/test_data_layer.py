@@ -207,9 +207,12 @@ def test_detection_dataset_multi_json_union(tmp_path):
     # single-path construction unchanged
     ds_a = CocoDetectionDataset(a)
     assert ds_a.image_ids == [1, 2]
-    # union record count: image 2 keeps one annotation set, no dupes
+    # union record count: image 2 keeps ONLY its first-json annotation set —
+    # later jsons re-number ann ids for the same boxes, so keying on
+    # (image_id, ann_id) alone would double the shared image's GT
+    # (round-2 regression)
     rec = ds.record(ds.image_ids.index(2))
-    assert rec["boxes"].shape[0] >= 1
+    assert rec["boxes"].shape[0] == 1
 
 
 def test_detection_dataset_union_class_table_mismatch(tmp_path):

@@ -139,3 +139,38 @@ def test_fsdp_branch_shards_and_trains():
     step2 = make_train_step(tx2, CFG, config.MODEL.KLD_WEIGHT)
     state2, metrics2 = step2(state2, batch)
     np.testing.assert_allclose(loss_fsdp, float(metrics2["loss"]), rtol=1e-4)
+
+
+def test_tied_embedding_leaves_resolve_and_train():
+    """The production shape ties the output head to the embedding
+    (embedding_size 300/600 → params carry output_projection.{w,b} instead
+    of output_layer). Every leaf must resolve through the table AND a
+    sharded train step must run — round-2 regression: the table lacked
+    these entries, crashing scripts/train.py at the reference dims."""
+    from style_seqcvae_tpu.training.trainer import create_train_state, make_train_step
+
+    cfg = CaptionerConfig(vocab_size=64, image_feature_size=16,
+                          embedding_size=300, hidden_size=6,
+                          attention_projection_size=4, z_space=4,
+                          sentiment_vae=1, simple_vae=False,
+                          max_caption_length=6)
+    assert cfg.tie_embeddings
+    mesh = make_mesh(num_data=4, num_model=2)
+    params = init_captioner(jax.random.PRNGKey(0), cfg)
+    specs = _specs_by_path(params, mesh)
+    assert specs["['output_projection']['w']"] == P()
+    assert specs["['output_projection']['b']"] == P()
+    assert specs["['embedding']"] == P("model", None)
+
+    sharded = shard_params(mesh, params)
+    config = Config(config_override=["MODEL.EMBEDDING_SIZE", "300"])
+    state, tx = create_train_state(sharded, config, cfg, jax.random.PRNGKey(1))
+    step = make_train_step(tx, cfg, config.MODEL.KLD_WEIGHT)
+    rng = np.random.RandomState(0)
+    batch = {
+        "image_features": jnp.asarray(rng.randn(8, 4, 16).astype(np.float32)),
+        "caption_tokens": jnp.asarray(rng.randint(2, 64, (8, 6)).astype(np.int32)),
+        "sentiment": jnp.asarray(rng.choice([-1.0, 1.0], (8, 1)).astype(np.float32)),
+    }
+    state, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
