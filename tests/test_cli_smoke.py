@@ -178,3 +178,21 @@ def test_train_cli_bf16_compute(cli_fixture):
           "DATA.MAX_BOXES", "6", "MODEL.LSTM_DROPOUT", "0.0"])
     rows = [json.loads(l) for l in open(ser / "metrics.jsonl")]
     assert rows[-1]["loss"] < rows[0]["loss"]
+
+
+def test_train_cli_tied_embeddings(cli_fixture):
+    """EMBEDDING_SIZE 300/600 ties the output head to the embedding — the
+    production configuration. The CLI must start and train (round-2
+    regression: the param sharding table lacked the tied-head leaves and
+    crashed scripts/train.py at startup on any mesh)."""
+    d = cli_fixture
+    ser = d / "ckpt_tied"
+    _run(["scripts/train.py", "--model", "cvae", "--cpu",
+          "--config", str(d / "cfg.yml"),
+          "--serialization-dir", str(ser),
+          "--max-iterations", "6", "--checkpoint-every", "6",
+          "--config-override", "PRINT_EVERY_N_BATCHES", "5",
+          "MODEL.EMBEDDING_SIZE", "300",
+          "DATA.MAX_BOXES", "6", "MODEL.LSTM_DROPOUT", "0.0"])
+    rows = [json.loads(l) for l in open(ser / "metrics.jsonl")]
+    assert np.isfinite(rows[-1]["loss"])
