@@ -53,6 +53,8 @@ def main():
 
     if _A.cpu:
         jax.config.update("jax_platforms", "cpu")
+    from style_seqcvae_tpu.utils.cache import enable_compile_cache
+    enable_compile_cache()
     import jax.numpy as jnp
 
     from style_seqcvae_tpu.config import Config
@@ -201,25 +203,59 @@ def main():
 
     from style_seqcvae_tpu.data.prefetch import prefetch
 
-    for start, prepared, staged in prefetch(group_stream(), buffer_size=2):
-        key, k = jax.random.split(key)
-        if len(prepared) > 1:
-            try:
-                per_image = _decode_group(_C, model_cfg, harness, prepared,
-                                          k, n_z, staged=staged)
-                for (batch, _), toks in zip(prepared, per_image):
-                    emit(batch, toks)
-            except Exception as e:
-                print(f"group decode failed ({e}); retrying per image")
-                for batch, oae in prepared:
-                    key, k = jax.random.split(key)
-                    emit(batch, decode_single(batch, oae, k))
-        else:
-            batch, oae = prepared[0]
-            emit(batch, decode_single(batch, oae, k))
-        done_n = min(start + group_size, n_images)
+    def collect_and_emit(pending):
+        """Fetch a dispatched group's device results, select + emit; on any
+        (possibly deferred-from-dispatch) failure, retry per image."""
+        nonlocal key
+        p_start, p_prepared, kind_out = pending
+        try:
+            per_image = _collect_group(_C, model_cfg, kind_out, p_prepared, n_z)
+            for (batch, _), toks in zip(p_prepared, per_image):
+                emit(batch, toks)
+        except Exception as e:
+            print(f"group decode failed ({e}); retrying per image")
+            for batch, oae in p_prepared:
+                key, k2 = jax.random.split(key)
+                emit(batch, decode_single(batch, oae, k2))
+        done_n = min(p_start + group_size, n_images)
         if done_n % 50 < group_size and done_n >= 50 or done_n == n_images:
             print(f"{done_n}/{n_images} images decoded")
+
+    # One-deep dispatch pipeline: group N+1's device decode is issued
+    # BEFORE group N's results are fetched/selected/detokenized, so the
+    # chip never idles on host-side post-processing (the dispatch is
+    # asynchronous; only the fetch blocks).
+    pending = None
+    for start, prepared, staged in prefetch(group_stream(), buffer_size=2):
+        key, k = jax.random.split(key)
+        cur = None
+        if len(prepared) > 1:
+            try:
+                kind_out = _dispatch_group(_C, model_cfg, harness, prepared,
+                                           k, n_z, staged=staged)
+                cur = (start, prepared, kind_out)
+            except Exception as e:  # trace/shape failures surface here
+                if pending is not None:
+                    collect_and_emit(pending)
+                    pending = None
+                print(f"group decode failed ({e}); retrying per image")
+                for batch, oae in prepared:
+                    key, k2 = jax.random.split(key)
+                    emit(batch, decode_single(batch, oae, k2))
+        else:
+            if pending is not None:
+                collect_and_emit(pending)
+                pending = None
+            batch, oae = prepared[0]
+            emit(batch, decode_single(batch, oae, k))
+            done_n = min(start + group_size, n_images)
+            if done_n % 50 < group_size and done_n >= 50 or done_n == n_images:
+                print(f"{done_n}/{n_images} images decoded")
+        if pending is not None:
+            collect_and_emit(pending)
+        pending = cur
+    if pending is not None:
+        collect_and_emit(pending)
 
     os.makedirs(os.path.dirname(os.path.abspath(_A.output_path)), exist_ok=True)
     with open(_A.output_path, "w") as f:
@@ -229,14 +265,13 @@ def main():
     print(f"wrote {len(predictions)} predictions to {_A.output_path}")
 
 
-def _decode_group(_C, model_cfg, harness, prepared, k, n_z, staged=None):
-    """Decode a group of images in ONE device dispatch (the reference forces
-    bs=1, inference.py:95). Returns a list of (n_z, T) token arrays, one per
-    image, in input order. ``staged`` carries pre-transferred device arrays
-    from the prefetch thread."""
+def _dispatch_group(_C, model_cfg, harness, prepared, k, n_z, staged=None):
+    """Issue ONE asynchronous device dispatch for a group of images (the
+    reference forces bs=1, inference.py:95). Returns ``(kind, device_out)``
+    for :func:`_collect_group`; ``staged`` carries pre-transferred device
+    arrays from the prefetch thread."""
+    import jax.numpy as jnp
     import numpy as np
-
-    from style_seqcvae_tpu.decoding.select import select_best_beam_with_constraints
 
     if staged is not None:
         feats, sentiment, obj_att_embeds = (staged["feats"],
@@ -248,20 +283,40 @@ def _decode_group(_C, model_cfg, harness, prepared, k, n_z, staged=None):
         oaes = [o for _, o in prepared]
         obj_att_embeds = (None if oaes[0] is None
                           else jnp.asarray(np.concatenate(oaes)))
-    B = len(prepared)
 
     if _C.MODEL.USE_CBS:
         tables = [list(b["fsm_tables"]) for b, _ in prepared]
         ncs = np.asarray([int(np.asarray(b["num_constraints"]).reshape(-1)[0])
                           for b, _ in prepared])
         if model_cfg.cbs_simple:
-            best, _ = harness.decode_cbs(
-                feats, sentiment, obj_att_embeds, tables, ncs, k, n_z)
-            return [best[:, b, :] for b in range(B)]          # (n_z, T) each
-        seqs, lp = harness.decode_cbs(
+            return ("cbs_simple", harness.decode_cbs(
+                feats, sentiment, obj_att_embeds, tables, ncs, k, n_z,
+                fetch=False))
+        return ("cbs_grounded", harness.decode_cbs(
             feats, sentiment, obj_att_embeds, tables, ncs, k, n_z,
-            return_all=True)
-        out = [[] for _ in range(B)]
+            return_all=True, fetch=False))
+    return ("beam", harness.decode_beam(
+        feats, sentiment, obj_att_embeds, k, n_z, fetch=False))
+
+
+def _collect_group(_C, model_cfg, kind_out, prepared, n_z):
+    """Fetch a dispatched group's results and run host-side selection.
+    Returns a list of (n_z, T) token arrays, one per image, in input
+    order."""
+    import jax
+    import numpy as np
+
+    from style_seqcvae_tpu.decoding.select import select_best_beam_with_constraints
+
+    kind, out = kind_out
+    out = jax.tree_util.tree_map(np.asarray, out)
+    B = len(prepared)
+    if kind == "cbs_simple":
+        best, _ = out
+        return [best[:, b, :] for b in range(B)]              # (n_z, T) each
+    if kind == "cbs_grounded":
+        seqs, lp = out
+        grouped = [[] for _ in range(B)]
         for z in range(n_z):
             cands, c2s, per_nc = [], [], []
             for b, _ in prepared:
@@ -274,10 +329,17 @@ def _decode_group(_C, model_cfg, harness, prepared, k, n_z, staged=None):
                 seqs[z], lp[z], per_nc, cands, c2s,
                 model_cfg.min_constraints_to_satisfy, cbs_simple=False)
             for b in range(B):
-                out[b].append(best[b])
-        return [np.stack(toks) for toks in out]
-    seqs, _ = harness.decode_beam(feats, sentiment, obj_att_embeds, k, n_z)
+                grouped[b].append(best[b])
+        return [np.stack(toks) for toks in grouped]
+    seqs, _ = out
     return [seqs[:, b, :] for b in range(B)]
+
+
+def _decode_group(_C, model_cfg, harness, prepared, k, n_z, staged=None):
+    """Synchronous dispatch + collect (kept for single-shot callers)."""
+    kind_out = _dispatch_group(_C, model_cfg, harness, prepared, k, n_z,
+                               staged=staged)
+    return _collect_group(_C, model_cfg, kind_out, prepared, n_z)
 
 
 def _decode_one(_C, model_cfg, harness, batch, feats, sentiment,

@@ -48,6 +48,8 @@ def main():
 
     if _A.cpu:
         jax.config.update("jax_platforms", "cpu")
+    from style_seqcvae_tpu.utils.cache import enable_compile_cache
+    enable_compile_cache()
 
     from style_seqcvae_tpu.config import Config
     from style_seqcvae_tpu.data.datasets import TrainingDataset

@@ -55,6 +55,8 @@ def main():
 
     if _A.cpu:
         jax.config.update("jax_platforms", "cpu")
+    from style_seqcvae_tpu.utils.cache import enable_compile_cache
+    enable_compile_cache()
     import jax.numpy as jnp
 
     from style_seqcvae_tpu.config import Config

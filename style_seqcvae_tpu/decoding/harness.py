@@ -179,11 +179,16 @@ class DecodeHarness:
 
     def decode_cbs(self, feats: np.ndarray, sentiment, obj_att_embeds,
                    tables, num_constraints, key, n_z: int,
-                   return_all: bool = False):
+                   return_all: bool = False, fetch: bool = True):
         """feats (B, N, F); ``tables`` is per-z ``List[FSMTables]`` (B=1) or
         per-image ``List[List[FSMTables]]``. Returns (n_z, B, T) token ids
         (or all (n_z, B, S, K, T) beams when ``return_all`` for grounded
-        selection)."""
+        selection).
+
+        ``fetch=False`` returns the still-on-device arrays without blocking
+        — callers can pipeline the next dispatch behind the transfer (the
+        inference CLI overlaps group N+1's decode with group N's
+        host-side selection/detokenization)."""
         B = feats.shape[0]
         if tables and isinstance(tables[0], FSMTables):
             assert B == 1, "per-image FSM lists required for batched decode"
@@ -204,6 +209,8 @@ class DecodeHarness:
                                           stacked, nc, key)
         out = self._jit_cbs(self.params, feats, sentiment,
                             oae, stacked, nc, key, n_z=n_z, return_all=return_all)
+        if not fetch:
+            return out
         return jax.tree_util.tree_map(np.asarray, out)
 
     # ---------------- plain beam path ----------------
@@ -225,7 +232,8 @@ class DecodeHarness:
         keys = jax.random.split(key, n_z)
         return jax.vmap(one_z)(keys)
 
-    def decode_beam(self, feats, sentiment, obj_att_embeds, key, n_z: int):
+    def decode_beam(self, feats, sentiment, obj_att_embeds, key, n_z: int,
+                    fetch: bool = True):
         feats = jnp.asarray(feats)
         sentiment = jnp.asarray(sentiment) if sentiment is not None else None
         oae = (jnp.asarray(obj_att_embeds)
@@ -235,6 +243,8 @@ class DecodeHarness:
                 n_z, feats, sentiment, oae, key=key)
         out = self._jit_beam(self.params, feats, sentiment,
                              oae, key, n_z=n_z)
+        if not fetch:
+            return out
         return jax.tree_util.tree_map(np.asarray, out)
 
 
