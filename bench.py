@@ -513,8 +513,8 @@ def main():
 
     # Persistent compile cache: the full decode program can take minutes to
     # compile cold; cache makes driver re-runs cheap.
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    from style_seqcvae_tpu.utils.cache import enable_compile_cache
+    enable_compile_cache()
 
     baselines = {}
     try:

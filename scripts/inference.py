@@ -242,6 +242,10 @@ def main():
                 for batch, oae in prepared:
                     key, k2 = jax.random.split(key)
                     emit(batch, decode_single(batch, oae, k2))
+                done_n = min(start + group_size, n_images)
+                if (done_n % 50 < group_size and done_n >= 50
+                        or done_n == n_images):
+                    print(f"{done_n}/{n_images} images decoded")
         else:
             if pending is not None:
                 collect_and_emit(pending)

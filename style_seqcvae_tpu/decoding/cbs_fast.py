@@ -149,6 +149,9 @@ def constrained_beam_search_fast(
     # masked k=2 argmax chain). Kept as an opt-in for future re-evaluation;
     # default stays on the XLA path.
     fused = bool(fused_vocab_topk)
+    if fused and not raw_step:
+        raise ValueError("fused_vocab_topk requires raw_step=True (the "
+                         "kernel selects on raw logits + logsumexp)")
 
     states_iota = jnp.arange(S, dtype=jnp.int32)
 

@@ -96,12 +96,19 @@ def roi_align_pallas(features: jnp.ndarray, rois: jnp.ndarray, *,
     # buffering pushed it past the budget at extraction bs=16; capping the
     # block at ≤4 MB keeps the kernel batch-size-independent. RoIAlign is
     # pointwise across channels, so the split is free.
+    # step down in multiples of 128 (Mosaic lane tiling) that divide C; a
+    # non-dividing or non-128-multiple block would fail Mosaic or silently
+    # fall back to the full-C window this split exists to avoid
     c_block = C
-    while c_block > 128 and H * W * c_block * 4 > 4 * 2 ** 20:
-        c_block //= 2
-    n_c = C // c_block if C % c_block == 0 else 1
-    if n_c == 1:
-        c_block = C
+    if H * W * C * 4 > 4 * 2 ** 20 and C % 128 == 0:
+        for cand in range(C - 128, 0, -128):
+            if C % cand == 0 and H * W * cand * 4 <= 4 * 2 ** 20:
+                c_block = cand
+                break
+        else:
+            if C > 128:
+                c_block = 128
+    n_c = C // c_block
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,            # batch_idx (index_map) + flat rois

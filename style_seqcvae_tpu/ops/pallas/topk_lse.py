@@ -43,14 +43,18 @@ def _kernel(x_ref, v_ref, i_ref, *, k: int, vocab: int):
 
     vals = []
     idxs = []
-    cur = x
+    # exclusion by INDEX, not by writing -inf over the value: value-masking
+    # is a no-op once the running max is itself -inf, which would re-select
+    # column 0 forever and break the distinct-indices contract of lax.top_k
+    taken = jnp.zeros(x.shape, bool)
     for _ in range(k):
+        cur = jnp.where(taken, -jnp.inf, x)
         m = jnp.max(cur, axis=1)                         # (8,)
-        hit = cur == m[:, None]
+        hit = (cur == m[:, None]) & ~taken
         idx = jnp.min(jnp.where(hit, col, vocab), axis=1)  # first occurrence
         vals.append(m)
         idxs.append(idx)
-        cur = jnp.where(col == idx[:, None], -jnp.inf, cur)
+        taken = taken | (col == idx[:, None])
 
     # assemble the (8, 128) output tiles with static-lane selects (single
     # whole-tile stores; lane-sliced stores are fragile in Mosaic)

@@ -77,3 +77,14 @@ def test_fused_cbs_equals_default_path():
     np.testing.assert_allclose(np.where(reach, lb, 0), np.where(reach, la, 0),
                                atol=1e-4)
     np.testing.assert_array_equal(np.asarray(sb)[reach], np.asarray(sa)[reach])
+
+
+def test_kernel_distinct_indices_on_all_neg_inf():
+    """Once remaining values are -inf the kernel must still emit DISTINCT
+    indices (like lax.top_k), not repeat column 0 (round-2 regression:
+    value-masking was a no-op on an already -inf max)."""
+    x = jnp.full((8, 10), -jnp.inf)
+    v1, i1, _ = top_k_with_lse(x, 3, interpret=True)
+    v2, i2, _ = top_k_with_lse_xla(x, 3)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    assert np.all(np.isneginf(np.asarray(v1)))
