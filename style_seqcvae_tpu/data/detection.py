@@ -64,9 +64,24 @@ class CocoDetectionDataset:
                 if im["id"] not in images:
                     images[im["id"]] = im
                     new_ids.add(im["id"])
+            dropped = 0
             for ann in data["annotations"]:
                 if ann["image_id"] in new_ids:
                     annotations.setdefault((ann["image_id"], ann["id"]), ann)
+                else:
+                    dropped += 1
+            if dropped:
+                # First-json-wins drops every later-json annotation of an
+                # already-seen image. Correct for the disjoint
+                # train+valminusminival union, but if a caller ever splits
+                # one image's annotations across jsons this silently loses
+                # GT — make it detectable (reference combined_roidb simply
+                # concatenates and has no analogous drop).
+                import warnings
+                warnings.warn(
+                    f"{dropped} annotation(s) in {path} reference images "
+                    "already provided by an earlier instances json and were "
+                    "skipped (first-json-wins union)", stacklevel=2)
         data = {"categories": [{"id": i, "name": n}
                                for i, n in sorted(cats.items())],
                 "images": list(images.values()),

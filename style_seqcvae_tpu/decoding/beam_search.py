@@ -89,6 +89,10 @@ def beam_search(
     if noise is None:
         rng, k0 = jax.random.split(rng)
     else:
+        assert noise.shape[0] == max_steps, (
+            f"noise must have max_steps={max_steps} rows, got {noise.shape[0]}"
+            " (the scan length comes from noise[1:] — a short/long array"
+            " would silently change the output T)")
         k0 = noise[0]
     start_lp, state = step_fn(start_tokens[:, None], _add_beam_dim(init_state), k0)
     start_lp = start_lp[:, 0, :]                       # (B, V)
@@ -135,6 +139,8 @@ def greedy_decode(step_fn, start_tokens, init_state, rng, *, max_steps: int,
     if noise is None:
         rng, k0 = jax.random.split(rng)
     else:
+        assert noise.shape[0] == max_steps, (
+            f"noise must have max_steps={max_steps} rows, got {noise.shape[0]}")
         k0 = noise[0]
     lp, state = step_fn(start_tokens[:, None], _add_beam_dim(init_state), k0)
     first = jnp.argmax(lp[:, 0, :], axis=-1)

@@ -160,6 +160,8 @@ def constrained_beam_search_fast(
     if noise is not None:
         # precomputed z-noise (max_steps, B, S, K, z) — passed to the step
         # in place of PRNG keys (generation inside the scan is expensive)
+        assert noise.shape[0] == max_steps, (
+            f"noise must have max_steps={max_steps} rows, got {noise.shape[0]}")
         k0 = noise[0][:, :1, :1]
     lp0, state = step_fn(
         start_tokens[:, None, None],

@@ -100,14 +100,27 @@ def roi_align_pallas(features: jnp.ndarray, rois: jnp.ndarray, *,
     # non-dividing or non-128-multiple block would fail Mosaic or silently
     # fall back to the full-C window this split exists to avoid
     c_block = C
-    if H * W * C * 4 > 4 * 2 ** 20 and C % 128 == 0:
-        for cand in range(C - 128, 0, -128):
-            if C % cand == 0 and H * W * cand * 4 <= 4 * 2 ** 20:
-                c_block = cand
-                break
-        else:
-            if C > 128:
-                c_block = 128
+    if H * W * C * 4 > 4 * 2 ** 20:
+        if C % 128 == 0:
+            for cand in range(C - 128, 0, -128):
+                if C % cand == 0 and H * W * cand * 4 <= 4 * 2 ** 20:
+                    c_block = cand
+                    break
+            else:
+                if C > 128:
+                    c_block = 128
+        if c_block == C:
+            # No 128-multiple split divides C (or C itself isn't a lane
+            # multiple): the full-C window exceeds the 4 MB budget and large
+            # batches may blow scoped VMEM — say so instead of failing
+            # mysteriously inside Mosaic (shipped backbones are C=1024/512
+            # and never hit this).
+            import warnings
+            warnings.warn(
+                f"roi_align_pallas: feature window {H}x{W}x{C} is "
+                f"{H * W * C * 4 / 2**20:.1f} MB and C={C} admits no "
+                "128-multiple channel split — VMEM may overflow at large "
+                "batch; pad channels to a multiple of 128", stacklevel=2)
     n_c = C // c_block
 
     grid_spec = pltpu.PrefetchScalarGridSpec(

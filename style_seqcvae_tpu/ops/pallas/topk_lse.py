@@ -37,9 +37,14 @@ def _kernel(x_ref, v_ref, i_ref, *, k: int, vocab: int):
     x = x_ref[...].astype(jnp.float32)                   # (8, V)
     col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
 
-    # logsumexp on the untouched row (stable: shift by the row max)
+    # logsumexp on the untouched row (stable: shift by the row max).  An
+    # all--inf row makes the shift (-inf)-(-inf)=NaN; the contract (and
+    # top_k_with_lse_xla) says logsumexp of such a row is -inf, so keep the
+    # raw max when it is not finite.
     m1 = jnp.max(x, axis=1)                              # (8,)
-    lse = m1 + jnp.log(jnp.sum(jnp.exp(x - m1[:, None]), axis=1))
+    shifted = jnp.sum(jnp.exp(x - jnp.where(jnp.isfinite(m1), m1, 0.0)[:, None]),
+                      axis=1)
+    lse = jnp.where(jnp.isfinite(m1), m1 + jnp.log(shifted), m1)
 
     vals = []
     idxs = []

@@ -84,7 +84,11 @@ def test_kernel_distinct_indices_on_all_neg_inf():
     indices (like lax.top_k), not repeat column 0 (round-2 regression:
     value-masking was a no-op on an already -inf max)."""
     x = jnp.full((8, 10), -jnp.inf)
-    v1, i1, _ = top_k_with_lse(x, 3, interpret=True)
-    v2, i2, _ = top_k_with_lse_xla(x, 3)
+    v1, i1, lse1 = top_k_with_lse(x, 3, interpret=True)
+    v2, i2, lse2 = top_k_with_lse_xla(x, 3)
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
     assert np.all(np.isneginf(np.asarray(v1)))
+    # logsumexp of an all--inf row is -inf, not NaN (the naive max-shift
+    # produces (-inf)-(-inf)=NaN; the kernel must guard it)
+    np.testing.assert_array_equal(np.asarray(lse1), np.asarray(lse2))
+    assert np.all(np.isneginf(np.asarray(lse1)))
