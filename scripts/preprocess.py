@@ -6,6 +6,7 @@ Subcommands:
   id-maps           coco2senti / senti2coco pickles
   attribute-index   COCO instances + cocottributes pickle → reader pickles
   balanced-captions sentiment-adjective-augmented COCO captions
+  att-balanced-captions  COCO-Attributes adjective-augmented COCO captions
   sentiglove        PCA-10 SentiGloVe latent dictionary
 """
 
@@ -44,6 +45,23 @@ def main():
     p.add_argument("--objects-tsv", required=True)
     p.add_argument("--attribs-pos", nargs="*", default=[])
     p.add_argument("--attribs-neg", nargs="*", default=[])
+    p.add_argument("--output-dir", required=True)
+    p.add_argument("--seed", type=int, default=0)
+
+    p = sub.add_parser(
+        "att-balanced-captions",
+        help="misc/prep_coco_att_data.py: insert COCO-Attributes adjectives "
+             "into COCO captions from per-image attribute detections")
+    p.add_argument("--coco-captions", required=True,
+                   help="COCO captions JSON (annotations list)")
+    p.add_argument("--attrib-detections", required=True,
+                   help="per-image candidates JSON: [{'image_id', "
+                        "'candidates': [[obj, [[att, ...], ...]], ...]}, ...]")
+    p.add_argument("--objects-tsv", required=True,
+                   help="object wordforms TSV (constraint_wordforms_exp.tsv)")
+    p.add_argument("--attribs-tsv", required=True,
+                   help="attribute wordforms TSV "
+                        "(constraint_wordforms_attribs_exp.tsv)")
     p.add_argument("--output-dir", required=True)
     p.add_argument("--seed", type=int, default=0)
 
@@ -109,6 +127,22 @@ def main():
         both = outputs["pos"] + outputs["neg"]
         json.dump(both, open(os.path.join(args.output_dir,
                                           "captions_new_balanced.json"), "w"))
+
+    elif args.cmd == "att-balanced-captions":
+        coco = json.load(open(args.coco_captions))
+        coco = coco["annotations"] if isinstance(coco, dict) else coco
+        image_id2attribs = json.load(open(args.attrib_detections))
+        wordforms_objects = pp.read_wordform_classes(args.objects_tsv)
+        wordforms_attribs = pp.read_wordform_classes(args.attribs_tsv)
+        att_counts = pp.analyze_attribs(image_id2attribs)
+        new = pp.generate_att_balanced_dataset(
+            coco, image_id2attribs, wordforms_objects, wordforms_attribs,
+            att_counts, rng=random.Random(args.seed))
+        os.makedirs(args.output_dir, exist_ok=True)
+        path = os.path.join(args.output_dir, "att_captions_new_balanced.json")
+        json.dump(new, open(path, "w"))
+        print(f"{path}: {len(new)} captions "
+              f"({len(att_counts)} distinct attributes in detections)")
 
     elif args.cmd == "sentiglove":
         from style_seqcvae_tpu.data.config_attrib_selection import attrib_selection

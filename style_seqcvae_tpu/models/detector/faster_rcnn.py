@@ -51,7 +51,8 @@ class DetectorConfig(NamedTuple):
     rpn: RPNConfig = RPNConfig()
     pt: ProposalTargetConfig = ProposalTargetConfig()
     cb_beta: float = 0.9                 # faster_rcnn.py:195 call site
-    cb_gamma: float = 1.0
+    cb_gamma: float = 1.0                # focal modulator exponent (cb_loss)
+    cb_loss_type: str = "sigmoid"        # "sigmoid" | "focal" | "softmax"
     att_loss_weight: float = 0.5         # trainval_net.py:345-346
     remat: bool = False                  # checkpoint backbone bottlenecks
 
@@ -165,17 +166,63 @@ def _pool_rois(params, cfg: DetectorConfig, base_feat, rois_flat,
     return resnet.head_to_tail(params["resnet"], pooled)     # (R, 2048)
 
 
+def _stable_bce_with_logits(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    """Elementwise binary_cross_entropy_with_logits, reduction='none'."""
+    return (jnp.maximum(logits, 0) - logits * labels
+            + jnp.log1p(jnp.exp(-jnp.abs(logits))))
+
+
+def _cb_example_weights(labels_mh, samples_per_cls, beta, n_cls):
+    """Per-example CB weight Σ_c labels·((1-β)/(1-β^n_c)), the w_c row
+    normalized to sum to num_classes (faster_rcnn.py:293-303). Rows with no
+    positive label get weight 0 — padded rows vanish for free."""
+    eff = 1.0 - jnp.power(beta, samples_per_cls)
+    w = (1.0 - beta) / eff
+    w = w / jnp.sum(w) * n_cls
+    return jnp.sum(w[None, :] * labels_mh, axis=1, keepdims=True)     # (R, 1)
+
+
 def cb_sigmoid_loss(labels_mh: jnp.ndarray, logits: jnp.ndarray,
                     samples_per_cls: jnp.ndarray, beta: float) -> jnp.ndarray:
     """Class-balanced sigmoid BCE (faster_rcnn.py:278-313): per-example
     weight = Σ_c labels·((1-β)/(1-β^n_c)) normalized to num_classes."""
-    n_cls = logits.shape[-1]
-    eff = 1.0 - jnp.power(beta, samples_per_cls)
-    w = (1.0 - beta) / eff
-    w = w / jnp.sum(w) * n_cls
-    per_ex = jnp.sum(w[None, :] * labels_mh, axis=1, keepdims=True)   # (R, 1)
-    bce = jnp.maximum(logits, 0) - logits * labels_mh + jnp.log1p(jnp.exp(-jnp.abs(logits)))
-    return per_ex * bce                                                # (R, C)
+    per_ex = _cb_example_weights(labels_mh, samples_per_cls, beta,
+                                 logits.shape[-1])
+    return per_ex * _stable_bce_with_logits(logits, labels_mh)         # (R, C)
+
+
+def cb_focal_loss(labels_mh: jnp.ndarray, logits: jnp.ndarray,
+                  samples_per_cls: jnp.ndarray, beta: float,
+                  gamma: float) -> jnp.ndarray:
+    """Class-balanced FOCAL loss (reference faster_rcnn.py:246-276 via the
+    CB_loss 'focal' branch :306-307). Unlike the other branches it reduces
+    to a SCALAR inside CB_loss itself: Σ w·exp(-γ·y·x - γ·softplus(-x))·BCE
+    normalized by the positive-label count. Dead in the reference's own run
+    config (call site :194 hard-codes 'sigmoid'); provided for the listed
+    capability. Zero-label rows carry zero CB weight, so fixed-shape
+    padding rows vanish without extra masking; an all-zero labels tensor is
+    guarded to 0 (the reference would divide by zero)."""
+    per_ex = _cb_example_weights(labels_mh, samples_per_cls, beta,
+                                 logits.shape[-1])
+    bce = _stable_bce_with_logits(logits, labels_mh)
+    # reference modulator: exp(-γ·y·x - γ·log(1+exp(-x))); softplus(-x) is
+    # the overflow-stable form of log(1+exp(-x))
+    modulator = jnp.exp(-gamma * labels_mh * logits
+                        - gamma * jax.nn.softplus(-logits))
+    total = jnp.sum(per_ex * modulator * bce)
+    return total / jnp.maximum(jnp.sum(labels_mh), 1.0)
+
+
+def cb_softmax_loss(labels_mh: jnp.ndarray, logits: jnp.ndarray,
+                    samples_per_cls: jnp.ndarray, beta: float) -> jnp.ndarray:
+    """Class-balanced 'softmax' branch (faster_rcnn.py:309-311) — the
+    reference quirk preserved verbatim: the row softmax of the logits is
+    fed to binary_cross_entropy_with_logits AS IF it were logits (the
+    probabilities are re-sigmoided inside the BCE)."""
+    per_ex = _cb_example_weights(labels_mh, samples_per_cls, beta,
+                                 logits.shape[-1])
+    pred = jax.nn.softmax(logits, axis=-1)
+    return per_ex * _stable_bce_with_logits(pred, labels_mh)           # (R, C)
 
 
 def detector_forward_train(params, cfg: DetectorConfig, batch, key):
@@ -234,12 +281,26 @@ def detector_forward_train(params, cfg: DetectorConfig, batch, key):
     if cfg.num_att_classes:
         att_logits = _linear(params["cls_score_atts"], pooled_feat)
         atts_flat = labels_atts.reshape(B * R, -1)
-        cb = cb_sigmoid_loss(atts_flat, att_logits,
-                             jnp.asarray(batch["att_counts"], jnp.float32), cfg.cb_beta)
-        has_atts = jnp.sum(atts_flat, axis=1) > 0                   # (BR,)
-        # reference: CB_loss[valid_indices].mean() over (rows-with-atts, C)
-        denom = jnp.maximum(jnp.sum(has_atts) * cb.shape[1], 1)
-        loss_atts = jnp.sum(jnp.where(has_atts[:, None], cb, 0.0)) / denom
+        att_counts = jnp.asarray(batch["att_counts"], jnp.float32)
+        if cfg.cb_loss_type == "focal":
+            # focal reduces to a scalar inside CB_loss; the reference's
+            # [valid].mean() on a 0-d tensor would crash, so the scalar IS
+            # the loss (divergence noted in the docstring).
+            loss_atts = cb_focal_loss(atts_flat, att_logits, att_counts,
+                                      cfg.cb_beta, cfg.cb_gamma)
+        else:
+            if cfg.cb_loss_type == "sigmoid":
+                cb = cb_sigmoid_loss(atts_flat, att_logits, att_counts,
+                                     cfg.cb_beta)
+            elif cfg.cb_loss_type == "softmax":
+                cb = cb_softmax_loss(atts_flat, att_logits, att_counts,
+                                     cfg.cb_beta)
+            else:
+                raise ValueError(f"unknown cb_loss_type {cfg.cb_loss_type!r}")
+            has_atts = jnp.sum(atts_flat, axis=1) > 0               # (BR,)
+            # reference: CB_loss[valid_indices].mean() over (rows-with-atts, C)
+            denom = jnp.maximum(jnp.sum(has_atts) * cb.shape[1], 1)
+            loss_atts = jnp.sum(jnp.where(has_atts[:, None], cb, 0.0)) / denom
         any_atts = jnp.sum(atts_flat) > 0
         losses["rcnn_cls_atts"] = jnp.where(any_atts, loss_atts, 0.0)
 

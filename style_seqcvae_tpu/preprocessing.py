@@ -15,6 +15,11 @@
   Senticap and inject sentiment adjectives into COCO captions with
   POS-gated insertion and a→an fixup. When NLTK's perceptron tagger data is
   unavailable a small rule-based tagger stands in (documented divergence).
+* :func:`analyze_attribs` / :func:`generate_att_balanced_dataset` —
+  misc/prep_coco_att_data.py:52-195: build global attribute counts from
+  per-image detection candidates and inject COCO-Attributes adjectives into
+  COCO captions (1/count² attribute sampling, cleaned-name wordform lookup,
+  same POS gates, 'useful' a→an exception).
 * :func:`prep_sentiglove` — misc/prep_expl_lat_space.py:89-101: PCA(10) of
   attribute-wordform GloVe vectors fitted on the top-10 pos + neg
   sentiment anchors (numpy SVD, no sklearn).
@@ -229,6 +234,122 @@ def generate_balanced_dataset(captions: List[dict], attribs_per_obj: Dict,
         target = captions_new if modified else captions_factual
         target.append({"image_id": caption["image_id"], "caption": " ".join(toks)})
     return captions_new, captions_factual
+
+
+def analyze_attribs(image_id2attribs: List[dict]) -> Dict[str, int]:
+    """Global attribute-name frequency over the per-image detection
+    candidates (misc/prep_coco_att_data.py:52-61). ``image_id2attribs`` is
+    the attribute-detections JSON: a list of
+    ``{"image_id": id, "candidates": [[obj_name, [[att_name, ...], ...]],
+    ...]}`` records. The counts drive the inverse-square sampling weights of
+    :func:`generate_att_balanced_dataset` (rare attributes are favoured —
+    that is the 'balanced' in the output name)."""
+    result: Dict[str, int] = {}
+    for item in image_id2attribs:
+        for o in item["candidates"]:
+            for a in o[1]:
+                result[a[0]] = result.get(a[0], 0) + 1
+    return result
+
+
+def generate_att_balanced_dataset(captions: List[dict],
+                                  image_id2attribs: List[dict],
+                                  wordforms_objects: Dict,
+                                  wordforms_attribs: Dict,
+                                  att_counts: Optional[Dict[str, int]] = None,
+                                  rng: Optional[_random.Random] = None
+                                  ) -> List[dict]:
+    """COCO-Attributes caption augmentation
+    (misc/prep_coco_att_data.py:113-195): for every image with detected
+    (object, attributes) candidates, each caption mentioning a detected
+    object's wordform gets one attribute wordform inserted before the
+    mention — the attribute is drawn with 1/count² weighting over the
+    object's detected attributes (rare attributes favoured), its cleaned
+    name (last word of a multi-word attribute) indexes the attribute
+    wordform table, and a concrete surface form is sampled uniformly.
+    Insertion positions are POS-gated exactly like the sentiment variant;
+    the a→an fixup skips 'useful' (reference :188) and — unlike the
+    senticap variant — never applies to the insert-at-idx branch (the
+    reference leaves ``added_at=-1`` there).
+
+    Returns the modified-caption records
+    ``{"image_id", "caption", "attributes"}`` (attributes = the image's
+    candidate list, as the reference emits).
+
+    Divergences from the reference, both guards for its crash paths: an
+    object candidate with no attributes is skipped (``random.choices`` on
+    an empty population raises), and a cleaned attribute name absent from
+    the wordform TSV is skipped (KeyError)."""
+    rng = rng or _random
+    if att_counts is None:
+        att_counts = analyze_attribs(image_id2attribs)
+    skip_tags = ["NN", "JJ", "RB"]
+    break_tags = ["ATTRIB"]
+
+    image_id2captions: Dict[int, List[str]] = {}
+    for annot in captions:
+        image_id2captions.setdefault(annot["image_id"], []).append(
+            annot["caption"])
+
+    captions_new: List[dict] = []
+    for image in image_id2attribs:
+        caps = image_id2captions.get(image["image_id"])
+        if caps is None:
+            continue
+        attributes = image["candidates"]
+        for c in caps:
+            toks = [t for t in word_tokenize(c.lower().strip())
+                    if t not in PUNCTUATIONS]
+            tags = pos_tags(toks)
+            modified = False
+            for o in attributes:
+                for w in wordforms_objects[o[0]]["words"]:
+                    if w not in toks:
+                        continue
+                    idx = toks.index(w)
+                    o_a = [a[0] for a in o[1]]
+                    if not o_a:
+                        continue
+                    o_a_p = [1.0 / att_counts[a] ** 2 for a in o_a]
+                    sample = rng.choices(o_a, o_a_p)[0]
+                    sample_cleaned = (sample.split(" ")[-1]
+                                      or sample.split(" ")[-2])
+                    if sample_cleaned not in wordforms_attribs:
+                        continue
+                    add_att = rng.choice(
+                        list(wordforms_attribs[sample_cleaned]["words"]))
+                    if add_att in toks:
+                        continue
+                    added_at = -1
+                    if (idx > 1 and tags[idx - 2] in skip_tags
+                            and tags[idx - 1] in skip_tags
+                            and tags[idx - 2] not in break_tags
+                            and (idx < 3 or tags[idx - 3] not in break_tags)):
+                        toks.insert(idx - 2, add_att)
+                        tags.insert(idx - 2, "ATTRIB")
+                        added_at = idx - 2
+                    elif (idx and tags[idx - 1] in skip_tags
+                          and tags[idx - 1] not in break_tags
+                          and (idx < 2 or tags[idx - 2] not in break_tags)):
+                        toks.insert(idx - 1, add_att)
+                        tags.insert(idx - 1, "ATTRIB")
+                        added_at = idx - 1
+                    elif (tags[idx] not in break_tags
+                          and (idx < 1 or tags[idx - 1] not in break_tags)):
+                        toks.insert(idx, add_att)
+                        tags.insert(idx, "ATTRIB")
+                        # reference keeps added_at = -1 on this branch —
+                        # no a→an fixup for insert-at-mention
+                    modified = True
+                    if (added_at > 0 and add_att[0] in "aeiou"
+                            and add_att != "useful"
+                            and toks[added_at - 1] == "a"):
+                        toks[added_at - 1] = "an"
+            if modified:
+                captions_new.append({"image_id": image["image_id"],
+                                     "caption": " ".join(toks),
+                                     "attributes": attributes})
+    return captions_new
 
 
 def read_wordform_classes(tsv_path: str) -> Dict[str, Dict]:

