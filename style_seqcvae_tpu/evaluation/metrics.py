@@ -209,34 +209,57 @@ def _porter_stem(word: str) -> str:
 _STEMMER = None
 
 
+# Closed-class English function words for meteor-1.5's δ weighting
+# (meteor ships a frequency-derived list; this is the standard
+# closed-class inventory — articles, prepositions, conjunctions,
+# pronouns, auxiliaries/modals, common particles).
+METEOR_FUNCTION_WORDS = frozenset("""
+a an the this that these those some any each every either neither no
+i you he she it we they me him her us them my your his its our their
+mine yours hers ours theirs myself yourself himself herself itself
+ourselves themselves who whom whose which what
+in on at by for with about against between into through during before
+after above below to from up down out off over under again further of
+and or but nor so yet if then else when while because although though
+since unless until whether as than
+be am is are was were been being have has had having do does did doing
+will would shall should may might must can could ought
+not n't there here all both few more most other such only own same just
+""".split())
+
+
 class MeteorPy:
     """Pure-Python METEOR — the offline replacement for the meteor-1.5 JVM
     jar the reference's eval spawns (eval/eval.py:13,317-320 via
     pycocoevalcap).
 
-    Scoring stages: **exact** then **Porter-stem** matching (position-greedy
-    within each stage, the nltk-meteor alignment), unigram F-mean
-    ``P·R / (α·P + (1-α)·R)`` with α=0.9, fragmentation penalty
-    ``γ·(chunks/m)^β`` with β=3, γ=0.5, score = Fmean·(1-penalty), max over
-    references; corpus score = mean over images.
+    Implements the meteor-1.5 scoring formula (Denkowski & Lavie 2014,
+    English task parameters): matcher stages **exact** (weight 1.0) then
+    **Porter-stem** (weight 0.6), content/function-word weighting δ=0.75
+    in weighted precision/recall, F-mean ``P·R / (α·P + (1-α)·R)`` with
+    α=0.85, fragmentation penalty ``γ·(chunks/m)^β`` with β=0.2, γ=0.6,
+    score = Fmean·(1-penalty), max over references; corpus score = mean
+    over images.
 
     Documented divergences from the jar (no JVM/WordNet offline): the
-    synonym and paraphrase stages are absent, and the 1.0-era parameters
-    above are used instead of meteor-1.5's tuned (α=0.85, β=0.2, γ=0.6,
-    δ=0.75 function-word weighting). Ranking behavior tracks the jar
-    closely on caption-length text; absolute values differ by a few points.
-    """
+    synonym and paraphrase stages are absent; the alignment is
+    position-greedy per stage rather than the jar's chunk-minimizing beam
+    search; the function-word list is the closed-class inventory above
+    rather than the jar's corpus-frequency-derived list. Where a jar is
+    available, ``scripts/compare_meteor_jar.py`` measures the actual
+    per-image rank correlation between this implementation and the jar."""
 
-    alpha, beta, gamma = 0.9, 3.0, 0.5
+    alpha, beta, gamma, delta = 0.85, 0.2, 0.6, 0.75
+    stage_weights = (1.0, 0.6)           # exact, stem (meteor-1.5 en)
 
     @staticmethod
-    def _align(hyp: List[str], ref: List[str]) -> List[Tuple[int, int]]:
-        """(hyp_idx, ref_idx) matches: exact stage then stem stage, each
-        greedy by hypothesis position over still-unmatched words."""
-        matches: List[Tuple[int, int]] = []
+    def _align(hyp: List[str], ref: List[str]) -> List[Tuple[int, int, int]]:
+        """(hyp_idx, ref_idx, stage) matches: exact stage then stem stage,
+        each greedy by hypothesis position over still-unmatched words."""
+        matches: List[Tuple[int, int, int]] = []
         used_h = [False] * len(hyp)
         used_r = [False] * len(ref)
-        for key in (lambda w: w, _porter_stem):
+        for stage, key in enumerate((lambda w: w, _porter_stem)):
             ref_keys = [key(w) for w in ref]
             for i, hw in enumerate(hyp):
                 if used_h[i]:
@@ -244,20 +267,25 @@ class MeteorPy:
                 hk = key(hw)
                 for j, rk in enumerate(ref_keys):
                     if not used_r[j] and hk == rk:
-                        matches.append((i, j))
+                        matches.append((i, j, stage))
                         used_h[i] = used_r[j] = True
                         break
         return sorted(matches)
 
     @classmethod
-    def _count_chunks(cls, matches: List[Tuple[int, int]]) -> int:
+    def _count_chunks(cls, matches: List[Tuple[int, int, int]]) -> int:
         chunks = 0
         prev = None
-        for i, j in matches:
+        for i, j, _ in matches:
             if prev is None or i != prev[0] + 1 or j != prev[1] + 1:
                 chunks += 1
             prev = (i, j)
         return chunks
+
+    @classmethod
+    def _word_weight(cls, word: str) -> float:
+        return (1 - cls.delta if word in METEOR_FUNCTION_WORDS
+                else cls.delta)
 
     @classmethod
     def sentence_score(cls, hyp_words: List[str], ref_words: List[str]) -> float:
@@ -265,8 +293,14 @@ class MeteorPy:
         m = len(matches)
         if m == 0 or not hyp_words or not ref_words:
             return 0.0
-        p = m / len(hyp_words)
-        r = m / len(ref_words)
+        p_den = sum(cls._word_weight(w) for w in hyp_words)
+        r_den = sum(cls._word_weight(w) for w in ref_words)
+        p_num = sum(cls.stage_weights[s] * cls._word_weight(hyp_words[i])
+                    for i, _, s in matches)
+        r_num = sum(cls.stage_weights[s] * cls._word_weight(ref_words[j])
+                    for _, j, s in matches)
+        p = p_num / p_den
+        r = r_num / r_den
         fmean = (p * r) / (cls.alpha * p + (1 - cls.alpha) * r)
         frag = cls._count_chunks(matches) / m
         return fmean * (1 - cls.gamma * frag ** cls.beta)

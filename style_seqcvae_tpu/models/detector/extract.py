@@ -6,10 +6,16 @@ specific columns, clip, divide by im_scale) → per-class score threshold +
 NMS(0.3) → global cap at ``max_per_image`` via the score-threshold rule →
 pack GT / detected attribute streams → features.h5 row.
 
-The device part is one jitted call; the per-class NMS assembly runs
-host-side in numpy over ≤ a few hundred boxes (exact reference algorithm,
-including its quirks: per-class independent NMS, cap by the max_per_image-th
-highest score with >= comparison).
+Two selection implementations share the algorithm (test_net.py:379-482):
+
+* host (:func:`select_detections`) — exact reference semantics including
+  its quirks (per-class independent NMS, cap by the max_per_image-th
+  highest score with >= comparison, class-major output order). Used by the
+  features.h5 writer, where stream order is part of the schema.
+* device (:func:`select_detections_device`) — fixed-shape jnp analogue
+  (vmapped per-class NMS + global top-k) that fuses into the detector
+  forward so e2e serving never round-trips the (P, 2048) pooled features
+  through the host. Parity-tested against the host version.
 """
 
 from __future__ import annotations
@@ -100,6 +106,83 @@ def select_detections(
     return out
 
 
+def decode_boxes_jax(rois_xyxy, bbox_pred, im_info, bbox_normalize_stds,
+                     bbox_normalize_means, im_scale, num_classes: int,
+                     class_agnostic: bool = False):
+    """Device analogue of :func:`decode_boxes` (test_net.py:345-365) —
+    pure jnp so it fuses into a larger program. ``im_scale`` may be a
+    traced scalar."""
+    import jax.numpy as jnp
+
+    from style_seqcvae_tpu.ops.boxes import bbox_transform_inv, clip_boxes
+
+    reps = 1 if class_agnostic else num_classes
+    stds = jnp.tile(jnp.asarray(bbox_normalize_stds, jnp.float32), reps)
+    means = jnp.tile(jnp.asarray(bbox_normalize_means, jnp.float32), reps)
+    deltas = bbox_pred.astype(jnp.float32) * stds + means
+    pred = bbox_transform_inv(rois_xyxy.astype(jnp.float32), deltas)
+    pred = clip_boxes(pred, im_info[0], im_info[1])
+    return pred / im_scale
+
+
+def select_detections_device(scores, pred_boxes, pooled_feat,
+                             scores_atts=None, *,
+                             thresh: float = 0.05, nms_thresh: float = 0.3,
+                             max_per_image: int = 100, start_index: int = 1):
+    """Fixed-shape device analogue of :func:`select_detections` for ONE
+    image: per-class greedy NMS (vmapped over classes) + global top-
+    ``max_per_image`` by score (test_net.py:379-482). The host version's
+    global cap keeps every box tied at the threshold score and orders the
+    output class-major; this one returns exactly ``max_per_image`` rows in
+    descending-score order with a validity mask — a pure reordering plus
+    tie-truncation, which the captioner's permutation-invariant attention
+    cannot see. The exact class-major stream (features.h5 parity) stays on
+    the host path.
+
+    Returns dict of fixed-shape arrays: features (M, F) with invalid rows
+    zeroed (row 0 forced to ones when nothing survives, matching the
+    bench/CLI fallback), boxes (M, 4), scores (M,), class_ids (M,),
+    valid (M,) bool, and att_scores (M, A) when ``scores_atts`` given."""
+    import jax
+    import jax.numpy as jnp
+
+    from style_seqcvae_tpu.ops.nms import nms
+
+    P, C = scores.shape
+    ncls = C - start_index
+    cls_scores = scores[:, start_index:].astype(jnp.float32).T      # (ncls, P)
+    boxes_pc = pred_boxes.reshape(P, C, 4).transpose(1, 0, 2)[start_index:]
+    valid = cls_scores > thresh
+    # the nms contract wants padding rows at score <= 0; non-candidates
+    # sort last and can only suppress each other
+    nms_scores = jnp.where(valid, cls_scores, 0.0)
+
+    def one_class(b, s):
+        return nms(b.astype(jnp.float32), s, nms_thresh)[1]
+
+    keep = jax.vmap(one_class)(boxes_pc, nms_scores)                # (ncls, P)
+    cand = valid & keep
+    flat = jnp.where(cand, cls_scores, -1.0).reshape(-1)            # (ncls·P,)
+    k = min(max_per_image, int(flat.shape[0]))
+    top_s, top_i = jax.lax.top_k(flat, k)
+    ok = top_s > -0.5
+    box_idx = top_i % P
+    feats = jnp.where(ok[:, None], pooled_feat[box_idx], 0.0)
+    # no survivors → single all-ones row (bench/CLI zero-detection fallback)
+    none = ~ok.any()
+    feats = feats.at[0].set(jnp.where(none, 1.0, feats[0]))
+    out = {
+        "features": feats,
+        "boxes": jnp.where(ok[:, None], boxes_pc.reshape(-1, 4)[top_i], 0.0),
+        "scores": jnp.where(ok, top_s, 0.0),
+        "class_ids": jnp.where(ok, top_i // P + start_index, 0),
+        "valid": ok,
+    }
+    if scores_atts is not None:
+        out["att_scores"] = jnp.where(ok[:, None], scores_atts[box_idx], 0.0)
+    return out
+
+
 def extraction_row(selected: Dict[str, np.ndarray], att_pred_thresh: float = 0.3
                    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Build the (features, obj_atts, obj_atts_det) h5 row
@@ -115,3 +198,28 @@ def extraction_row(selected: Dict[str, np.ndarray], att_pred_thresh: float = 0.3
         obj_atts_det = pack_obj_atts_det(selected["class_ids"],
                                          selected["att_scores"], att_pred_thresh)
     return feats, obj_atts, obj_atts_det
+
+
+def vis_detections(im: np.ndarray, class_name: str, dets: np.ndarray,
+                   thresh: float = 0.8) -> np.ndarray:
+    """Visual detection debugging (net_utils.py:50-60): draw up to 10 boxes
+    of one class with score > ``thresh`` onto ``im`` (H, W, 3 uint8/float,
+    modified in place and returned). PIL replaces cv2 (not in this image):
+    green 2-px rectangles + '<class>: <score>' label."""
+    from PIL import Image, ImageDraw
+
+    arr = np.ascontiguousarray(im)
+    pil = Image.fromarray(arr.astype(np.uint8))
+    draw = ImageDraw.Draw(pil)
+    for i in range(min(10, dets.shape[0])):
+        x1, y1, x2, y2 = (int(round(float(v))) for v in dets[i, :4])
+        score = float(dets[i, -1])
+        if score > thresh:
+            draw.rectangle([x1, y1, x2, y2], outline=(0, 204, 0), width=2)
+            draw.text((x1, y1 + 4), f"{class_name}: {score:.3f}",
+                      fill=(255, 0, 0))
+    out = np.asarray(pil)
+    if im.shape == out.shape:
+        im[...] = out.astype(im.dtype)
+        return im
+    return out

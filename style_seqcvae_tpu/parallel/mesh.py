@@ -109,6 +109,19 @@ def decode_grid_specs(mesh: Mesh, n_z: int, batch: int):
         return P(DATA_AXIS), P()
     if batch % nd == 0:
         return P(None, DATA_AXIS), P(DATA_AXIS)
+    if nd > 1:
+        # Neither grid axis divides the data axis: the decode would run
+        # FULLY REPLICATED on every chip — a silent loss of all decode
+        # parallelism (e.g. 20 z-samples on a 3-chip mesh). Make it loud;
+        # callers can pad n_z up to a multiple of the mesh (extra samples
+        # are free diversity) or batch to a divisible group size.
+        import warnings
+        warnings.warn(
+            f"decode_grid_specs: neither n_z={n_z} nor batch={batch} "
+            f"divides the {nd}-device data axis — decoding will run fully "
+            "replicated (single-chip work on every chip). Pad n_z or batch "
+            "to a multiple of the mesh to restore decode parallelism.",
+            stacklevel=2)
     return P(), P()
 
 

@@ -15,3 +15,11 @@ import jax  # noqa: E402
 # explicit config update is the only reliable way to force CPU for tests.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: full-dims parity / multi-minute tests — excluded from the "
+        "keep-green quick loop (`pytest -m 'not slow'`); run the full "
+        "suite before snapshots")

@@ -10,6 +10,8 @@ import sys
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # multi-minute CLI/e2e smokes - excluded from the quick loop
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
@@ -193,6 +195,33 @@ def test_train_cli_tied_embeddings(cli_fixture):
           "--max-iterations", "6", "--checkpoint-every", "6",
           "--config-override", "PRINT_EVERY_N_BATCHES", "5",
           "MODEL.EMBEDDING_SIZE", "300",
+          "DATA.MAX_BOXES", "6", "MODEL.LSTM_DROPOUT", "0.0"])
+    rows = [json.loads(l) for l in open(ser / "metrics.jsonl")]
+    assert np.isfinite(rows[-1]["loss"])
+
+
+def test_train_cli_glove_cache(cli_fixture, tmp_path):
+    """scripts/train.py with DATA.GLOVE_CACHE: the real GloVe-600 path
+    (glove.42B.300d.txt + deps.words two-file concat) through the CLI
+    (reference updown_captioner.py:168-222). Synthetic 300-d cache files
+    cover a few vocab words; the rest fall back to hashed vectors."""
+    d = cli_fixture
+    rng = np.random.RandomState(3)
+    cache = tmp_path / "glove"
+    cache.mkdir()
+    for fname in ("glove.42B.300d.txt", "deps.words"):
+        with open(cache / fname, "w") as f:
+            for wword in ("dog", "cat", "runs"):
+                vec = " ".join(f"{v:.4f}" for v in rng.randn(300))
+                f.write(f"{wword} {vec}\n")
+            f.write("dog 1 2 3\n")  # malformed duplicate row → skipped
+    ser = d / "ckpt_glove"
+    _run(["scripts/train.py", "--model", "cvae", "--cpu",
+          "--config", str(d / "cfg.yml"),
+          "--serialization-dir", str(ser),
+          "--max-iterations", "10", "--checkpoint-every", "10",
+          "--config-override", "MODEL.EMBEDDING_SIZE", "600",
+          "DATA.GLOVE_CACHE", str(cache), "PRINT_EVERY_N_BATCHES", "5",
           "DATA.MAX_BOXES", "6", "MODEL.LSTM_DROPOUT", "0.0"])
     rows = [json.loads(l) for l in open(ser / "metrics.jsonl")]
     assert np.isfinite(rows[-1]["loss"])

@@ -15,6 +15,8 @@ import sys
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # multi-minute CLI/e2e smokes - excluded from the quick loop
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 

@@ -132,48 +132,67 @@ def test_full_evaluate_oracle_geq_mean():
 
 
 # ---------------- pure-Python METEOR (MeteorPy) ----------------
+# meteor-1.5 en parameters: alpha=0.85, beta=0.2, gamma=0.6, delta=0.75,
+# stage weights exact=1.0 / stem=0.6. Expectations hand-computed below.
+
+def _pen(m, chunks=1):
+    return 0.6 * (chunks / m) ** 0.2
+
 
 def test_meteorpy_perfect_match_penalty():
-    """Identical 6-word sentences: m=6, P=R=Fmean=1, one chunk →
-    score = 1 - 0.5*(1/6)^3 = 0.99768518..."""
+    """Identical 6-word sentences: P=R=Fmean=1, one chunk of m=6 ->
+    score = 1 - 0.6*(1/6)^0.2 (the 1.5 penalty is flat but large -- a
+    perfect match does NOT score ~1, matching the jar's behavior)."""
     from style_seqcvae_tpu.evaluation.metrics import MeteorPy
 
     s = MeteorPy.sentence_score("the cat sat on the mat".split(),
                                 "the cat sat on the mat".split())
-    assert abs(s - (1 - 0.5 * (1 / 6) ** 3)) < 1e-12
+    assert abs(s - (1 - _pen(6))) < 1e-12
 
 
 def test_meteorpy_fully_fragmented():
-    """Same words, scrambled order: all 6 matches are singleton chunks →
-    frag=1, penalty=0.5, score=0.5."""
+    """Same words, scrambled order: all 6 matches are singleton chunks ->
+    frag=1, penalty=gamma=0.6, score=0.4."""
     from style_seqcvae_tpu.evaluation.metrics import MeteorPy
 
     s = MeteorPy.sentence_score("on the mat sat the cat".split(),
                                 "the cat sat on the mat".split())
-    assert abs(s - 0.5) < 1e-12
+    assert abs(s - 0.4) < 1e-12
 
 
-def test_meteorpy_stem_stage():
-    """cats/cat and running/runs match through the Porter-stem stage:
-    m=3 over 3/3 words, one chunk → 1 - 0.5*(1/3)^3."""
+def test_meteorpy_stem_stage_weight():
+    """cats/cat and running/runs match through the Porter-stem stage at
+    weight 0.6; 'the' matches exactly at its function-word weight 0.25:
+    P = R = (1*0.25 + 0.6*0.75*2) / (0.25 + 0.75*2) = 1.15/1.75."""
     from style_seqcvae_tpu.evaluation.metrics import MeteorPy
 
     s = MeteorPy.sentence_score("the cats running".split(),
                                 "the cat runs".split())
-    assert abs(s - (1 - 0.5 * (1 / 3) ** 3)) < 1e-12
+    pr = (1.0 * 0.25 + 2 * 0.6 * 0.75) / (0.25 + 2 * 0.75)
+    assert abs(s - pr * (1 - _pen(3))) < 1e-12
 
 
-def test_meteorpy_partial_and_zero():
-    """hyp='the dog' vs ref='the cat sat': m=1, P=1/2, R=1/3,
-    Fmean=(1/6)/(0.9*0.5+0.1*(1/3)), frag=1 → score=Fmean*0.5; and a
-    no-overlap pair scores 0."""
+def test_meteorpy_function_word_discount():
+    """hyp='the dog' vs ref='the cat sat': the single match is the
+    function word 'the' (weight 0.25): P = 0.25/(0.25+0.75) = 0.25,
+    R = 0.25/(0.25+2*0.75) = 1/7, frag=1 -> penalty 0.6."""
     from style_seqcvae_tpu.evaluation.metrics import MeteorPy
 
-    p, r = 0.5, 1 / 3
-    fmean = (p * r) / (0.9 * p + 0.1 * r)
+    p, r = 0.25, 0.25 / 1.75
+    fmean = (p * r) / (0.85 * p + 0.15 * r)
     s = MeteorPy.sentence_score("the dog".split(), "the cat sat".split())
-    assert abs(s - fmean * 0.5) < 1e-12
+    assert abs(s - fmean * 0.4) < 1e-12
     assert MeteorPy.sentence_score(["dog"], ["cat"]) == 0.0
+
+
+def test_meteorpy_content_match_outscores_function_match():
+    """delta=0.75: matching a content word must beat matching a function
+    word, all else equal."""
+    from style_seqcvae_tpu.evaluation.metrics import MeteorPy
+
+    content = MeteorPy.sentence_score("red dog".split(), "red cat".split())
+    function = MeteorPy.sentence_score("the dog".split(), "the cat".split())
+    assert content > function
 
 
 def test_meteorpy_compute_score_protocol_multi_ref_max():
@@ -183,8 +202,8 @@ def test_meteorpy_compute_score_protocol_multi_ref_max():
            2: ["the cat sat on the mat"]}
     res = {1: ["a dog runs"], 2: ["the cat sat on the mat"]}
     corpus, per_image = MeteorPy().compute_score(gts, res)
-    expected1 = 1 - 0.5 * (1 / 3) ** 3      # max over refs = the perfect one
-    expected2 = 1 - 0.5 * (1 / 6) ** 3
+    expected1 = 1 - _pen(3)                 # max over refs = the perfect one
+    expected2 = 1 - _pen(6)
     assert abs(per_image[0] - expected1) < 1e-12
     assert abs(per_image[1] - expected2) < 1e-12
     assert abs(corpus - (expected1 + expected2) / 2) < 1e-12

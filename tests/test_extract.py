@@ -93,3 +93,82 @@ def test_extraction_row_and_h5_roundtrip(tmp_path):
     rdet = FeaturesReader(path, use_obj_att_preds=True)
     fdet, attsdet = rdet[1234]
     assert len(attsdet) == n_sel
+
+
+def test_select_detections_device_matches_host():
+    """Device per-class NMS + global cap selects the same (class, box) set
+    as the host reference algorithm (random scores → no threshold ties);
+    features ride along row-for-row."""
+    import jax.numpy as jnp
+
+    from style_seqcvae_tpu.models.detector.extract import (
+        select_detections_device)
+
+    rng = np.random.RandomState(5)
+    P, C, F = 40, 6, 16
+    scores = rng.dirichlet(np.ones(C), size=P).astype(np.float32)
+    boxes = rng.uniform(0, 80, (P, 4)).astype(np.float32)
+    boxes = np.concatenate([np.minimum(boxes[:, :2], boxes[:, 2:]),
+                            np.maximum(boxes[:, :2], boxes[:, 2:]) + 4], 1)
+    pred_boxes = np.tile(boxes, (1, C)).astype(np.float32)
+    feats = rng.randn(P, F).astype(np.float32)
+    atts = rng.rand(P, 7).astype(np.float32)
+
+    for cap in (100, 8):           # uncapped and capped
+        host = select_detections(scores, pred_boxes, feats, scores_atts=atts,
+                                 thresh=0.15, nms_thresh=0.5,
+                                 max_per_image=cap)
+        dev = select_detections_device(
+            jnp.asarray(scores), jnp.asarray(pred_boxes), jnp.asarray(feats),
+            jnp.asarray(atts), thresh=0.15, nms_thresh=0.5,
+            max_per_image=cap)
+        ok = np.asarray(dev["valid"])
+        assert ok.sum() == len(host["scores"]), cap
+        host_set = sorted(zip(host["class_ids"].tolist(),
+                              np.round(host["scores"], 5).tolist()))
+        dev_set = sorted(zip(np.asarray(dev["class_ids"])[ok].tolist(),
+                             np.round(np.asarray(dev["scores"])[ok], 5).tolist()))
+        assert host_set == dev_set, cap
+        # features follow their box: match rows by score
+        hs = np.argsort(-host["scores"], kind="stable")
+        np.testing.assert_allclose(np.asarray(dev["features"])[ok],
+                                   host["features"][hs], rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(dev["att_scores"])[ok],
+                                   host["att_scores"][hs], rtol=1e-6)
+        # invalid rows zeroed
+        assert np.all(np.asarray(dev["features"])[~ok] == 0)
+
+
+def test_select_detections_device_empty_fallback():
+    import jax.numpy as jnp
+
+    from style_seqcvae_tpu.models.detector.extract import (
+        select_detections_device)
+
+    P, C, F = 10, 4, 8
+    scores = np.full((P, C), 0.01, np.float32)   # nothing above threshold
+    pred_boxes = np.zeros((P, 4 * C), np.float32)
+    feats = np.zeros((P, F), np.float32)
+    dev = select_detections_device(jnp.asarray(scores),
+                                   jnp.asarray(pred_boxes),
+                                   jnp.asarray(feats), thresh=0.5,
+                                   max_per_image=5)
+    assert not np.asarray(dev["valid"]).any()
+    np.testing.assert_array_equal(np.asarray(dev["features"])[0],
+                                  np.ones(F))
+
+
+def test_vis_detections_draws_boxes():
+    """net_utils.py:50-60 analogue: boxes above threshold are drawn (green
+    outline pixels appear), below-threshold and >10th boxes are not."""
+    from style_seqcvae_tpu.models.detector.extract import vis_detections
+
+    im = np.zeros((60, 80, 3), np.uint8)
+    dets = np.asarray([[5, 5, 30, 30, 0.95],
+                       [40, 10, 70, 40, 0.2]], np.float32)
+    out = vis_detections(im, "dog", dets, thresh=0.8)
+    assert out is im
+    green = (im == np.array([0, 204, 0])).all(axis=-1)
+    assert green.any()
+    # the low-score box region's outline stays untouched
+    assert not green[10:40, 40:71][:, -1].any()

@@ -23,7 +23,10 @@ reconstruction; beam search is the S=1 special case of the same loop.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import torch
+
+pytestmark = pytest.mark.slow  # ~16 min: full-dims decode parity tier
 
 from style_seqcvae_tpu.decoding.beam_search import beam_search, greedy_decode
 from style_seqcvae_tpu.decoding.cbs_fast import (
