@@ -69,7 +69,7 @@ def main():
         anchor_ratios=tuple(D.ANCHOR_RATIOS),
         rpn=RPNConfig(anchor_scales=tuple(D.ANCHOR_SCALES)))
 
-    params = init_detector(jax.random.PRNGKey(0), det_cfg)
+    params = jax.jit(lambda k: init_detector(k, det_cfg))(jax.random.PRNGKey(0))
     if _A.checkpoint_path:
         from style_seqcvae_tpu.training.detector_optimizer import make_detector_optimizer
 

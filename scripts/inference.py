@@ -97,7 +97,12 @@ def main():
 
         params = init_baseline(jax.random.PRNGKey(_C.RANDOM_SEED), model_cfg, emb)
     else:
-        params = init_captioner(jax.random.PRNGKey(_C.RANDOM_SEED), model_cfg, emb)
+        if emb is None:
+            params = jax.jit(lambda k: init_captioner(k, model_cfg))(
+                jax.random.PRNGKey(_C.RANDOM_SEED))
+        else:
+            params = jax.jit(lambda k, e: init_captioner(k, model_cfg, e))(
+                jax.random.PRNGKey(_C.RANDOM_SEED), jnp.asarray(emb))
 
     if _A.checkpoint_path:
         ckpt = CheckpointManager(_A.checkpoint_path)

@@ -40,6 +40,12 @@ parser.add_argument("--bf16-compute", action="store_true",
                          "reference shape; per-step losses track f32)")
 parser.add_argument("--max-iterations", type=int, default=0,
                     help="override OPTIM.NUM_ITERATIONS for smoke runs")
+parser.add_argument("--steps-per-dispatch", type=int, default=1,
+                    help="K optimizer steps per device dispatch (lax.scan "
+                         "over K stacked batches) — amortizes the ~30 ms "
+                         "tunnel latency per dispatch; identical math to "
+                         "K single steps. checkpoint/print cadences snap "
+                         "to dispatch boundaries")
 
 
 def main():
@@ -62,7 +68,8 @@ def main():
     from style_seqcvae_tpu.parallel.mesh import make_mesh, shard_batch, shard_params
     from style_seqcvae_tpu.training.checkpointing import CheckpointManager
     from style_seqcvae_tpu.training.trainer import (
-        create_train_state, make_baseline_train_step, make_train_step)
+        create_train_state, make_baseline_train_step, make_chained_train_step,
+        make_train_step)
     from style_seqcvae_tpu.utils.logging import MetricsWriter, StepTimer, device_sync
     import jax.numpy as jnp
 
@@ -116,19 +123,32 @@ def main():
 
         params = init_baseline(root_key, model_cfg, embedding_table)
     else:
-        params = init_captioner(root_key, model_cfg, embedding_table)
+        if embedding_table is None:
+            params = jax.jit(lambda k: init_captioner(k, model_cfg))(root_key)
+        else:
+            # table rides as an ARG (a closure would bake a ~25 MB constant
+            # into the executable / compile-cache entry)
+            params = jax.jit(lambda k, emb: init_captioner(k, model_cfg, emb))(
+                root_key, jnp.asarray(embedding_table))
 
     mesh = make_mesh(_A.num_data, _A.num_model)
     params = shard_params(mesh, params)
     state, tx = create_train_state(params, _C, model_cfg, jax.random.PRNGKey(
         _C.RANDOM_SEED + 1))
     compute_dtype = jnp.bfloat16 if _A.bf16_compute else None
+    k_steps = max(1, _A.steps_per_dispatch)
     if _A.model == "baseline":
         train_step = make_baseline_train_step(tx, model_cfg,
                                               compute_dtype=compute_dtype)
+        if k_steps > 1:
+            raise SystemExit("--steps-per-dispatch supports the cvae family")
     else:
         train_step = make_train_step(tx, model_cfg, _C.MODEL.KLD_WEIGHT,
                                      compute_dtype=compute_dtype)
+        if k_steps > 1:
+            chained_step = make_chained_train_step(
+                tx, model_cfg, _C.MODEL.KLD_WEIGHT,
+                compute_dtype=compute_dtype)
 
     ckpt = CheckpointManager(_A.serialization_dir, mode="max")
     start_iteration = 1
@@ -143,10 +163,7 @@ def main():
     batches = dataset.batches(_C.OPTIM.BATCH_SIZE,
                               rng=random.Random(_C.RANDOM_SEED))
 
-    def staged_batches():
-        # host collation + device staging run ahead of the training loop:
-        # host->device transfers are expensive (especially over the axon
-        # tunnel), so overlap them with device compute via a producer thread
+    def host_batches():
         for batch in batches:
             model_batch = {
                 "image_features": batch["image_features"],
@@ -156,29 +173,71 @@ def main():
             if latent_dict is not None and batch["obj_atts"] is not None:
                 model_batch["obj_att_embeds"] = latent_dict.translate_obj_atts(
                     batch["obj_atts"], _C.DATA.MAX_BOXES)
+            yield model_batch
+
+    total_steps = num_iterations - start_iteration + 1
+    n_windows = total_steps // k_steps if k_steps > 1 else 0
+
+    def staged_batches():
+        # host collation + device staging run ahead of the training loop:
+        # host->device transfers are expensive (especially over the axon
+        # tunnel), so overlap them with device compute via a producer thread.
+        # At K steps/dispatch, K batches stack host-side and ship as one
+        # (K, B, ...) transfer for the scheduled full windows; the tail
+        # (total % K) ships as singles for the single-step path.
+        src = host_batches()
+        for _ in range(n_windows):
+            group = [next(src) for _ in range(k_steps)]
+            stacked = jax.tree_util.tree_map(lambda *xs: np.stack(xs), *group)
+            yield shard_batch(mesh, stacked, leading_scan_axis=True)
+        for model_batch in src:
             yield shard_batch(mesh, model_batch)
 
     from style_seqcvae_tpu.data.prefetch import prefetch
 
     staged = prefetch(staged_batches(), buffer_size=2)
 
+    def emit(iteration, metrics, idx=None):
+        get = (lambda m: device_sync(m) if idx is None
+               else float(np.asarray(m)[idx]))
+        if iteration % _C.PRINT_EVERY_N_BATCHES == 0:
+            writer.scalars(iteration, {
+                "reconstr_loss": get(metrics["reconstr_loss"]),
+                "kld_loss": get(metrics["kld_loss"]),
+                "loss": get(metrics["loss"]),
+                **timer.summary()})
+        if iteration % 2000 == 0:
+            print(f"{iteration}: loss={get(metrics['loss']):.6f}")
+
     with jax.sharding.set_mesh(mesh):
-        for iteration in range(start_iteration, num_iterations + 1):
-            with timer.phase("data"):
-                model_batch = next(staged)
-            with timer.phase("step"):
-                state, metrics = train_step(state, model_batch)
-            if iteration % _C.PRINT_EVERY_N_BATCHES == 0:
-                loss = device_sync(metrics["loss"])
-                writer.scalars(iteration, {
-                    "reconstr_loss": device_sync(metrics["reconstr_loss"]),
-                    "kld_loss": device_sync(metrics["kld_loss"]),
-                    "loss": loss,
-                    **timer.summary()})
-            if iteration % 2000 == 0:
-                print(f"{iteration}: loss={device_sync(metrics['loss']):.6f}")
-            if iteration % _A.checkpoint_every == 0:
-                ckpt.step(state, metric=0.0, iteration=iteration)
+        iteration = start_iteration
+        windows_done = 0
+        while iteration <= num_iterations:
+            if windows_done < n_windows:
+                windows_done += 1
+                with timer.phase("data"):
+                    model_batch = next(staged)
+                with timer.phase("step"):
+                    state, metrics_k = chained_step(state, model_batch)
+                window = range(iteration, iteration + k_steps)
+                if any(it % _C.PRINT_EVERY_N_BATCHES == 0 or it % 2000 == 0
+                       for it in window):
+                    metrics_k = jax.tree_util.tree_map(np.asarray, metrics_k)
+                    for j, it in enumerate(window):
+                        emit(it, metrics_k, idx=j)
+                if any(it % _A.checkpoint_every == 0 for it in window):
+                    # the scanned state exists only at the window end
+                    ckpt.step(state, metric=0.0, iteration=window[-1])
+                iteration += k_steps
+            else:
+                with timer.phase("data"):
+                    model_batch = next(staged)
+                with timer.phase("step"):
+                    state, metrics = train_step(state, model_batch)
+                emit(iteration, metrics)
+                if iteration % _A.checkpoint_every == 0:
+                    ckpt.step(state, metric=0.0, iteration=iteration)
+                iteration += 1
 
     ckpt.save(state, f"checkpoint_{num_iterations}")
     print("done.")

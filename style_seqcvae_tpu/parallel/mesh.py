@@ -47,15 +47,21 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS))
 
 
-def shard_batch(mesh: Mesh, batch):
-    """Device-put every array in a batch pytree with batch-dim sharding."""
+def shard_batch(mesh: Mesh, batch, leading_scan_axis: bool = False):
+    """Device-put every array in a batch pytree with batch-dim sharding.
+
+    ``leading_scan_axis``: the leaves carry a (K, batch, …) steps-per-
+    dispatch stack — shard axis 1 (the batch) and replicate the scan axis."""
     sh = batch_sharding(mesh)
 
     def put(x):
         if x is None:
             return None
         x = jnp.asarray(x)
-        spec = P(DATA_AXIS) if x.ndim >= 1 else P()
+        if leading_scan_axis:
+            spec = P(None, DATA_AXIS) if x.ndim >= 2 else P()
+        else:
+            spec = P(DATA_AXIS) if x.ndim >= 1 else P()
         return jax.device_put(x, NamedSharding(mesh, spec))
 
     return jax.tree_util.tree_map(put, batch)

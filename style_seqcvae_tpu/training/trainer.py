@@ -44,14 +44,10 @@ def _compute_cast(tree, dtype):
         if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, tree)
 
 
-def make_train_step(tx, model_cfg: CaptionerConfig, kld_weight: float,
-                    compute_dtype=None):
-    """Returns jitted ``train_step(state, batch) -> (state, metrics)``.
-
-    ``compute_dtype=jnp.bfloat16``: bf16 forward/backward with f32 master
-    params + optimizer (bf16 keeps the f32 exponent range → no loss
-    scaling). Measured 1.38× per-step on one v5e at the reference shape
-    (bs=150, E=600/H=900/z=150); see BASELINE.md "captioner mixed precision"."""
+def _make_train_body(tx, model_cfg: CaptionerConfig, kld_weight: float,
+                     compute_dtype=None):
+    """The (state, batch) → (state, metrics) step body shared by the
+    per-dispatch and scan-chained train steps."""
 
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
         rng, step_rng = jax.random.split(state.rng)
@@ -69,7 +65,40 @@ def make_train_step(tx, model_cfg: CaptionerConfig, kld_weight: float,
         metrics = {"loss": loss, "reconstr_loss": reconstr, "kld_loss": kld}
         return TrainState(new_params, new_opt_state, rng), metrics
 
-    return jax.jit(train_step, donate_argnums=(0,))
+    return train_step
+
+
+def make_train_step(tx, model_cfg: CaptionerConfig, kld_weight: float,
+                    compute_dtype=None):
+    """Returns jitted ``train_step(state, batch) -> (state, metrics)``.
+
+    ``compute_dtype=jnp.bfloat16``: bf16 forward/backward with f32 master
+    params + optimizer (bf16 keeps the f32 exponent range → no loss
+    scaling). Measured 1.38× per-step on one v5e at the reference shape
+    (bs=150, E=600/H=900/z=150); see BASELINE.md "captioner mixed precision"."""
+    return jax.jit(_make_train_body(tx, model_cfg, kld_weight, compute_dtype),
+                   donate_argnums=(0,))
+
+
+def make_chained_train_step(tx, model_cfg: CaptionerConfig, kld_weight: float,
+                            compute_dtype=None):
+    """K optimizer steps in ONE dispatch: ``chained(state, batches)`` scans
+    the single-step body over batch leaves stacked on a leading (K, …)
+    axis, returning the final state and per-step metrics stacked (K,).
+
+    Every dispatch over the axon tunnel pays ~30 ms of latency (CLAUDE.md);
+    a bs=32 reference-shape step is ~25 ms of device time, so chaining is up
+    to ~2× wall-clock on small batches. Mathematically identical to K
+    sequential ``make_train_step`` calls — the scan carries the same
+    TrainState (optimizer step counts, freeze-schedule masks, PRNG stream)
+    through the same body (equivalence test:
+    test_training.py::test_chained_step_equals_sequential)."""
+    body = _make_train_body(tx, model_cfg, kld_weight, compute_dtype)
+
+    def chained(state: TrainState, batches: Dict[str, jnp.ndarray]):
+        return jax.lax.scan(body, state, batches)
+
+    return jax.jit(chained, donate_argnums=(0,))
 
 
 def make_baseline_train_step(tx, model_cfg: CaptionerConfig,

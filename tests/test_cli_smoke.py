@@ -225,3 +225,42 @@ def test_train_cli_glove_cache(cli_fixture, tmp_path):
           "DATA.MAX_BOXES", "6", "MODEL.LSTM_DROPOUT", "0.0"])
     rows = [json.loads(l) for l in open(ser / "metrics.jsonl")]
     assert np.isfinite(rows[-1]["loss"])
+
+
+def test_train_cli_steps_per_dispatch_equivalence(cli_fixture):
+    """--steps-per-dispatch K must produce the same final checkpoint as the
+    single-step loop (same data order, same PRNG stream), including a tail
+    window (25 iterations, K=3 → 8 windows + 1 single)."""
+    import numpy as _np
+
+    d = cli_fixture
+    finals = []
+    for tag, extra in (("k1", []), ("k3", ["--steps-per-dispatch", "3"])):
+        ser = d / f"ckpt_spd_{tag}"
+        _run(["scripts/train.py", "--model", "cvae", "--cpu",
+              "--config", str(d / "cfg.yml"),
+              "--serialization-dir", str(ser),
+              "--max-iterations", "25", "--checkpoint-every", "25",
+              "--config-override", "PRINT_EVERY_N_BATCHES", "5",
+              "DATA.MAX_BOXES", "6", "MODEL.LSTM_DROPOUT", "0.0"] + extra)
+        import jax
+
+        from style_seqcvae_tpu.models.captioner import (
+            CaptionerConfig, init_captioner)
+        from style_seqcvae_tpu.training.checkpointing import CheckpointManager
+
+        rows = [json.loads(l) for l in open(ser / "metrics.jsonl")]
+        assert rows and rows[-1]["loss"] < rows[0]["loss"], tag
+        finals.append(ser)
+
+    import jax
+    import orbax.checkpoint as ocp
+
+    ck = ocp.StandardCheckpointer()
+    a = ck.restore(str(finals[0] / "checkpoint_25"))
+    b = ck.restore(str(finals[1] / "checkpoint_25"))
+    la, lb = (jax.tree_util.tree_leaves(t["params"]) for t in (a, b))
+    assert len(la) == len(lb) and la
+    for xa, xb in zip(la, lb):
+        _np.testing.assert_allclose(_np.asarray(xb), _np.asarray(xa),
+                                    rtol=1e-5, atol=1e-6)

@@ -215,3 +215,61 @@ def test_bf16_compute_tracks_f32():
     for leaf in jax.tree_util.tree_leaves(state_b.params):
         if jnp.issubdtype(leaf.dtype, jnp.floating):
             assert leaf.dtype == jnp.float32
+
+
+def test_chained_step_equals_sequential():
+    """make_chained_train_step (K steps per dispatch via lax.scan) must be
+    mathematically identical to K sequential make_train_step calls:
+    same final params/opt-state/rng, same per-step metrics — including the
+    decoder-freeze schedule crossing its unfreeze boundary mid-window."""
+    from style_seqcvae_tpu.training.trainer import make_chained_train_step
+
+    K = 6
+    config = small_config()   # EPOCH_START_DECODER_TRAINING=10 → boundary
+    params = init_captioner(jax.random.PRNGKey(0), CFG)
+
+    # distinct batch per step
+    rng = np.random.RandomState(3)
+    batches = []
+    for _ in range(2 * K):     # two windows → crosses step 10 inside w2
+        b = 8
+        batches.append({
+            "image_features": jnp.asarray(rng.randn(b, 4, 8).astype(np.float32)),
+            "caption_tokens": jnp.asarray(
+                rng.randint(2, 30, (b, 6)).astype(np.int32)),
+            "sentiment": jnp.asarray(
+                rng.choice([-1.0, 1.0], (b, 1)).astype(np.float32)),
+        })
+
+    state_a, tx_a = create_train_state(params, config, CFG, jax.random.PRNGKey(1))
+    step = make_train_step(tx_a, CFG, config.MODEL.KLD_WEIGHT)
+    seq_metrics = []
+    for b in batches:
+        state_a, m = step(state_a, b)
+        seq_metrics.append({k: float(v) for k, v in m.items()})
+
+    # fresh identical params: run A's donated buffers are deleted
+    params_b = init_captioner(jax.random.PRNGKey(0), CFG)
+    state_b, tx_b = create_train_state(params_b, config, CFG,
+                                       jax.random.PRNGKey(1))
+    chained = make_chained_train_step(tx_b, CFG, config.MODEL.KLD_WEIGHT)
+    chain_metrics = []
+    for w in range(2):
+        group = batches[w * K:(w + 1) * K]
+        stacked = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *group)
+        state_b, mk = chained(state_b, stacked)
+        mk = jax.tree_util.tree_map(np.asarray, mk)
+        for j in range(K):
+            chain_metrics.append({k: float(v[j]) for k, v in mk.items()})
+
+    assert int(state_a.step) == int(state_b.step) == 2 * K
+    for ma, mb in zip(seq_metrics, chain_metrics):
+        for k in ma:
+            np.testing.assert_allclose(mb[k], ma[k], rtol=1e-5, atol=1e-6)
+    for la, lb in zip(jax.tree_util.tree_leaves(state_a.params),
+                      jax.tree_util.tree_leaves(state_b.params)):
+        np.testing.assert_allclose(np.asarray(lb), np.asarray(la),
+                                   rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(state_a.rng),
+                                  np.asarray(state_b.rng))
