@@ -327,8 +327,12 @@ def bench_train_step(batch=32, steps=5):
 
 def build_cbs_decode(batch=16, n_z=20, n_states=8, beam=5, vocab=V,
                      boxes=BOXES, seq=SEQ, dtype="bfloat16", sentiment_vae=1,
-                     obj_att_embeds=None):
-    """Construct the jitted CBS decode program + example args (no timing)."""
+                     obj_att_embeds=None, selection="raw"):
+    """Construct the jitted CBS decode program + example args (no timing).
+
+    ``selection``: "raw" (default XLA masked-argmax path), "fused"
+    (post-matmul Pallas topk_lse — measured slower r2), or "prehead"
+    (matmul-fused streaming kernel, ops/pallas/vocab_topk_lse.py)."""
     import jax
     import jax.numpy as jnp
 
@@ -356,7 +360,10 @@ def build_cbs_decode(batch=16, n_z=20, n_states=8, beam=5, vocab=V,
     def decode_all(params, feats, sentiment, tables, key):
         ctx = make_decode_context(params, cfg, feats, sentiment=sentiment,
                                   obj_att_embeds=oae)
-        step = make_optimized_step_fn(params, cfg, ctx, return_raw=True)
+        prehead = selection == "prehead"
+        step = make_optimized_step_fn(params, cfg, ctx,
+                                      return_raw=not prehead,
+                                      return_prehead=prehead)
         init_state = init_cell_state((batch,), cfg.hidden_size, jdtype)
         start = jnp.full((batch,), cfg.boundary_index)
 
@@ -364,7 +371,10 @@ def build_cbs_decode(batch=16, n_z=20, n_states=8, beam=5, vocab=V,
             seqs, lp = constrained_beam_search_fast(
                 step, start, init_state, fsm_z, z_key,
                 max_steps=seq, beam_size=beam, per_node_beam_size=beam // 2,
-                end_index=cfg.boundary_index, raw_step=True)
+                end_index=cfg.boundary_index, raw_step=not prehead,
+                prehead_step=prehead,
+                embedding=params["embedding"] if prehead else None,
+                fused_vocab_topk=(selection == "fused") or None)
             best, best_lp = select_best_beam_simple_jax(
                 seqs, lp, jnp.full((batch,), 3), cfg.min_constraints_to_satisfy)
             return best, best_lp
@@ -382,11 +392,11 @@ def build_cbs_decode(batch=16, n_z=20, n_states=8, beam=5, vocab=V,
 def bench_tpu_cbs(batch=16, n_z=20, n_states=8, beam=5, vocab=V, boxes=BOXES,
                   seq=SEQ, dtype="bfloat16", steps=5, sentiment_vae=1,
                   obj_att_embeds=None, metric="cbs_beam5_captions_per_sec_per_chip",
-                  config_id=3):
+                  config_id=3, selection="raw"):
     decode_all, args = build_cbs_decode(
         batch=batch, n_z=n_z, n_states=n_states, beam=beam, vocab=vocab,
         boxes=boxes, seq=seq, dtype=dtype, sentiment_vae=sentiment_vae,
-        obj_att_embeds=obj_att_embeds)
+        obj_att_embeds=obj_att_embeds, selection=selection)
     best_t, compile_s = _time_dispatch(decode_all, args, 2, steps, key_index=4)
     rec = dict(metric=metric, value=round(batch * n_z / best_t, 2),
                unit="captions/s", config=config_id, items=batch * n_z,

@@ -120,6 +120,8 @@ def constrained_beam_search_fast(
     raw_step: bool = False,
     noise: "Optional[jnp.ndarray]" = None,
     fused_vocab_topk: "Optional[bool]" = None,
+    prehead_step: bool = False,
+    embedding: "Optional[jnp.ndarray]" = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Same contract as :func:`style_seqcvae_tpu.decoding.cbs.
     constrained_beam_search`: returns ((B, S, K, T), (B, S, K)).
@@ -137,7 +139,16 @@ def constrained_beam_search_fast(
     returns the unmasked top-(pnbs+E) + logsumexp, and exceptions are
     filtered afterwards on the tiny (·, pnbs+E) tensors — exact, since a
     state has at most E exception tokens. The step's own logz output is
-    unused in this mode and dead-code-eliminated."""
+    unused in this mode and dead-code-eliminated.
+
+    ``prehead_step=True`` (with ``embedding`` (V, E)): the step fn returns
+    the tied-head PRE-embedding activation ``(…, E)``
+    (captioner.make_optimized_step_fn(return_prehead=True)); the vocab
+    matmul, top-(pnbs+E) and logsumexp all fuse into ONE streaming Pallas
+    kernel (ops/pallas/vocab_topk_lse.py) — the (B·S·K, V) logits tensor
+    (~270 MB bf16 at production shapes) never exists in HBM. Exception
+    logits come from a tiny einsum against the pre-gathered exception
+    embedding rows."""
     B, S = fsm.default_dest.shape
     E = fsm.exc_token.shape[-1]
     K = beam_size
@@ -152,6 +163,13 @@ def constrained_beam_search_fast(
     if fused and not raw_step:
         raise ValueError("fused_vocab_topk requires raw_step=True (the "
                          "kernel selects on raw logits + logsumexp)")
+    if prehead_step:
+        if embedding is None:
+            raise ValueError("prehead_step requires the tied embedding "
+                             "table (V, E)")
+        if raw_step or fused:
+            raise ValueError("prehead_step is its own step contract — "
+                             "drop raw_step/fused_vocab_topk")
 
     states_iota = jnp.arange(S, dtype=jnp.int32)
 
@@ -166,7 +184,14 @@ def constrained_beam_search_fast(
     lp0, state = step_fn(
         start_tokens[:, None, None],
         jax.tree_util.tree_map(lambda t: t[:, None, None], init_state), k0)
-    if raw_step:
+    if prehead_step:
+        # first step is B rows — materializing (B, V) logits here is cheap
+        logits0 = jax.lax.dot_general(
+            lp0[:, 0, 0, :], embedding, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)               # (B, V)
+        lp0 = logits0 - jax.scipy.special.logsumexp(logits0, axis=-1,
+                                                    keepdims=True)
+    elif raw_step:
         logits0, logz0 = lp0
         lp0 = (logits0[:, 0, 0, :].astype(jnp.float32)
                - logz0[:, 0, 0, None])
@@ -216,11 +241,44 @@ def constrained_beam_search_fast(
         # dtype follows the model so f32 models stay exact.
         exc_onehot = jax.nn.one_hot(fsm.exc_token, V, dtype=jnp.float32)
         exc_onehot = exc_onehot * fsm.exc_valid[..., None]
+    if prehead_step:
+        # exception-token embedding rows are step-constant: gather once,
+        # per-step exception logits are then a tiny (K, E_exc) einsum
+        exc_emb = (embedding[fsm.exc_token]
+                   * fsm.exc_valid[..., None].astype(embedding.dtype))
 
     def scan_step(carry, key):
         state, last_preds, last_lp = carry
         out, new_state = step_fn(last_preds, state, key)         # (B, S, K, V)
-        if raw_step and fused:
+        if prehead_step:
+            from style_seqcvae_tpu.ops.pallas.vocab_topk_lse import (
+                matmul_top_k_with_lse)
+
+            proj = out                              # (B, S, K, Ed)
+            Ed = proj.shape[-1]
+            k_tot = pnbs + E
+            tvals, tidx, lse = matmul_top_k_with_lse(
+                proj.reshape(B * S * K, Ed), embedding, k_tot,
+                interpret=not on_tpu)
+            tvals = tvals.reshape(B, S, K, k_tot)
+            tidx = tidx.reshape(B, S, K, k_tot)
+            logz = lse.reshape(B, S, K)
+            is_exc = jnp.any(
+                (tidx[..., :, None] == fsm.exc_token[:, :, None, None, :])
+                & fsm.exc_valid[:, :, None, None, :], axis=-1)
+            def_l, pos = small_top_k(jnp.where(is_exc, MASK_VAL, tvals), pnbs)
+            def_cls = jnp.take_along_axis(tidx, pos, axis=-1)
+            def_lp = def_l - logz[..., None]
+            exc_l = jnp.einsum("bske,bsxe->bskx",
+                               proj.astype(exc_emb.dtype), exc_emb,
+                               preferred_element_type=jnp.float32)
+            exc_lp = exc_l - logz[..., None]
+            exc_lp = jnp.where(fsm.exc_valid[:, :, None, :], exc_lp, MASK_VAL)
+            ended = (last_preds == end_index)[..., None]
+            def_lp = jnp.where(ended, end_pattern, def_lp)
+            def_cls = jnp.where(ended, end_index, def_cls)
+            exc_lp = jnp.where(ended, MASK_VAL, exc_lp)
+        elif raw_step and fused:
             logits, _ = out          # step's logz unused here → DCE'd
             from style_seqcvae_tpu.ops.pallas.topk_lse import top_k_with_lse
 

@@ -354,7 +354,8 @@ def make_step_fn(params: Dict[str, Any], cfg: CaptionerConfig, ctx: DecodeContex
 
 
 def make_optimized_step_fn(params: Dict[str, Any], cfg: CaptionerConfig,
-                           ctx: DecodeContext, return_raw: bool = False):
+                           ctx: DecodeContext, return_raw: bool = False,
+                           return_prehead: bool = False):
     """Inference step with step-constant LSTM input segments folded out.
 
     The fused attention-LSTM matmul consumes ``[tok_emb, avg_feats, h1,
@@ -366,6 +367,10 @@ def make_optimized_step_fn(params: Dict[str, Any], cfg: CaptionerConfig,
 
     Exactly equivalent to :func:`make_step_fn` (tested); supports every
     prior mode. Only the inference path (z ~ prior) is implemented."""
+    if return_prehead:
+        assert cfg.tie_embeddings, (
+            "return_prehead needs the tied output head (the untied head's "
+            "(H, V) matrix has no E-dim bottleneck to hand back)")
     cell = params["cell"]
     E, F, H = cfg.embedding_size, cfg.image_feature_size, cfg.hidden_size
     cond = condition_size(cfg.sentiment_vae, cfg.simple_vae,
@@ -467,6 +472,17 @@ def make_optimized_step_fn(params: Dict[str, Any], cfg: CaptionerConfig,
 
         new_state = CellState(h1=h1, c1=c1, h_enc=state.h_enc,
                               c_enc=state.c_enc, h_dec=h_dec, c_dec=c_dec)
+        if return_prehead:
+            # tied head only: hand back the (…, E) pre-embedding activation
+            # so the searcher can fuse the V-matmul into its selection
+            # kernel (ops/pallas/vocab_topk_lse.py) — the (…, V) logits
+            # never materialize.
+            proj = jnp.tanh(
+                jnp.dot(h_dec, params["output_projection"]["w"],
+                        preferred_element_type=jnp.float32
+                        ).astype(h_dec.dtype)
+                + params["output_projection"]["b"])
+            return proj, new_state
         logits = output_logits(params, cfg, h_dec)
         if return_raw:
             logz = jax.scipy.special.logsumexp(
