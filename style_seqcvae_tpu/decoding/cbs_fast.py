@@ -148,7 +148,13 @@ def constrained_beam_search_fast(
     kernel (ops/pallas/vocab_topk_lse.py) — the (B·S·K, V) logits tensor
     (~270 MB bf16 at production shapes) never exists in HBM. Exception
     logits come from a tiny einsum against the pre-gathered exception
-    embedding rows."""
+    embedding rows. Measured on one v5e at production shapes: 741 vs the
+    raw path's 938 captions/s — the k-step VPU merge per V tile costs more
+    than the saved logits traffic, so with round-2's post-matmul fusion
+    attempt (704) this brackets the design space: XLA's materialized chain
+    IS the selection roofline here. Kept as a tested opt-in; bf16 tile-
+    merge lse rounding can flip near-tied beams on-chip (token-identical
+    in f32)."""
     B, S = fsm.default_dest.shape
     E = fsm.exc_token.shape[-1]
     K = beam_size
