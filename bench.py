@@ -285,7 +285,8 @@ def bench_train_step(batch=32, steps=5):
 
     from style_seqcvae_tpu.config import Config
     from style_seqcvae_tpu.models.captioner import init_captioner
-    from style_seqcvae_tpu.training.trainer import create_train_state, make_train_step
+    from style_seqcvae_tpu.training.trainer import (
+        create_train_state, make_chained_train_step, make_train_step)
 
     cfg = _cfg()
     params = _jit_init(init_captioner, cfg)
@@ -314,11 +315,34 @@ def bench_train_step(batch=32, steps=5):
         _sync(metrics["loss"])
         times.append(time.time() - t0)
     best = min(times)
+
+    # production cadence: K=10 optimizer steps per dispatch
+    # (make_chained_train_step / train.py --steps-per-dispatch) amortizes
+    # the ~30 ms tunnel floor across 10 steps
+    K10 = 10
+    chained = make_chained_train_step(tx, cfg, config.MODEL.KLD_WEIGHT)
+    stacked = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x[None], (K10,) + x.shape), batch_d)
+    t0 = time.time()
+    state, mk = chained(state, stacked)
+    _sync(mk["loss"][-1])
+    chain_compile_s = time.time() - t0
+    ctimes = []
+    for _ in range(steps):
+        t0 = time.time()
+        state, mk = chained(state, stacked)
+        _sync(mk["loss"][-1])
+        ctimes.append(time.time() - t0)
+    cbest = min(ctimes) / K10
+
     return dict(metric="train_step_captions_per_sec_per_chip",
                 value=round(batch / best, 2), unit="captions/s",
                 config=2, items=batch, flops=train_flops(batch, SEQ, BOXES),
                 bytes=train_weight_stream(SEQ),
-                seconds=best, compile_s=compile_s)
+                seconds=best, compile_s=compile_s,
+                chained10_value=round(batch / cbest, 2),
+                chained10_ms_per_step=round(1000 * cbest, 1),
+                chained10_compile_s=round(chain_compile_s, 1))
 
 
 # --------------------------------------------------------------------------
@@ -444,19 +468,34 @@ def bench_diverse_oracle(batch=16, n_z=20, steps=3):
     gts = {i: [tok_str(best[0, i])] for i in range(batch)}
 
     cider = Cider()
+
+    def score(seqs):
+        per_z = []
+        for k in range(n_z):
+            res_k = {i: [tok_str(seqs[k, i])] for i in range(batch)}
+            per_z.append(cider.compute_score(gts, res_k)[1])
+        arr = np.stack(per_z, axis=1)                    # (imgs, samples)
+        argmax = np.argmax(arr, axis=1)
+        res_best = {i: [tok_str(seqs[argmax[i], i])] for i in range(batch)}
+        return cider.compute_score(gts, res_best)[0]
+
+    def round_args(i):
+        return args[:-1] + (jax.random.PRNGKey(50 + i),)
+
+    # two-stage software pipeline (same pattern the inference CLI uses,
+    # scripts/inference.py): round i+1's decode is in flight on the device
+    # while round i's oracle scores on the host — the host CIDEr loop no
+    # longer serializes with device work.
     t0 = time.time()
-    out = decode_all(*args)
-    _sync(out[2])
-    seqs = np.asarray(out[0])
-    per_z = []
-    for k in range(n_z):
-        res_k = {i: [tok_str(seqs[k, i])] for i in range(batch)}
-        per_z.append(cider.compute_score(gts, res_k)[1])
-    arr = np.stack(per_z, axis=1)                        # (imgs, samples)
-    argmax = np.argmax(arr, axis=1)
-    res_best = {i: [tok_str(seqs[argmax[i], i])] for i in range(batch)}
-    oracle_cider = cider.compute_score(gts, res_best)[0]
-    total = time.time() - t0
+    pending = decode_all(*round_args(0))
+    oracle_cider = 0.0
+    for i in range(steps):
+        nxt = decode_all(*round_args(i + 1)) if i + 1 < steps else None
+        _sync(pending[2])
+        seqs = np.asarray(pending[0])
+        oracle_cider = score(seqs)
+        pending = nxt
+    total = (time.time() - t0) / steps
 
     rec.update(value=round(batch * n_z / total, 2), seconds=total,
                oracle_cider=round(float(oracle_cider), 4))

@@ -273,3 +273,40 @@ def test_chained_step_equals_sequential():
                                    rtol=1e-5, atol=1e-6)
     np.testing.assert_array_equal(np.asarray(state_a.rng),
                                   np.asarray(state_b.rng))
+
+
+def test_sharded_chained_step_matches_unsharded():
+    """make_chained_train_step on a (data, model) mesh with
+    leading_scan_axis batch sharding equals the unsharded chained run."""
+    from style_seqcvae_tpu.parallel.mesh import (
+        make_mesh, shard_batch, shard_params)
+    from style_seqcvae_tpu.training.trainer import make_chained_train_step
+
+    K = 3
+    config = small_config()
+    rng = np.random.RandomState(5)
+    group = []
+    for _ in range(K):
+        group.append({
+            "image_features": rng.randn(16, 4, 8).astype(np.float32),
+            "caption_tokens": rng.randint(2, 30, (16, 6)).astype(np.int32),
+            "sentiment": rng.choice([-1.0, 1.0], (16, 1)).astype(np.float32),
+        })
+    stacked_np = jax.tree_util.tree_map(lambda *xs: np.stack(xs), *group)
+
+    mesh = make_mesh(num_data=4, num_model=2)
+    params = shard_params(mesh, init_captioner(jax.random.PRNGKey(0), CFG))
+    state, tx = create_train_state(params, config, CFG, jax.random.PRNGKey(1))
+    chained = make_chained_train_step(tx, CFG, config.MODEL.KLD_WEIGHT)
+    stacked = shard_batch(mesh, stacked_np, leading_scan_axis=True)
+    with jax.sharding.set_mesh(mesh):
+        state, mk = chained(state, stacked)
+    mk = jax.tree_util.tree_map(np.asarray, mk)
+    assert mk["loss"].shape == (K,) and np.isfinite(mk["loss"]).all()
+
+    params2 = init_captioner(jax.random.PRNGKey(0), CFG)
+    state2, tx2 = create_train_state(params2, config, CFG, jax.random.PRNGKey(1))
+    chained2 = make_chained_train_step(tx2, CFG, config.MODEL.KLD_WEIGHT)
+    state2, mk2 = chained2(state2, jax.tree_util.tree_map(jnp.asarray,
+                                                          stacked_np))
+    np.testing.assert_allclose(mk["loss"], np.asarray(mk2["loss"]), rtol=1e-4)
