@@ -644,21 +644,21 @@ def main():
     except Exception:
         pass
 
-    lines = []
+    # each line prints (flushed) the moment its config finishes, so a stall
+    # in a later config (environment-side first-exec variance, BASELINE.md)
+    # cannot lose the already-measured lines; flagship still prints LAST —
+    # drivers parse the final JSON line.
     for fn in (bench_greedy, bench_train_step, bench_diverse_oracle, bench_e2e):
         try:
             rec = fn()
             rec.pop("_decode_fn", None)
-            lines.append(_finalize(rec, baselines))
+            rec = _finalize(rec, baselines)
         except Exception as e:  # a secondary config must never kill the flagship line
-            lines.append({"metric": fn.__name__, "error": repr(e)[:300]})
-    # flagship LAST — drivers parse the final JSON line
+            rec = {"metric": fn.__name__, "error": repr(e)[:300]}
+        print(json.dumps(rec), flush=True)
     rec = bench_tpu_cbs()
     rec.pop("_decode_fn", None)
-    lines.append(_finalize(rec, baselines))
-
-    for rec in lines:
-        print(json.dumps(rec))
+    print(json.dumps(_finalize(rec, baselines)), flush=True)
 
 
 if __name__ == "__main__":

@@ -172,3 +172,90 @@ def test_vis_detections_draws_boxes():
     assert green.any()
     # the low-score box region's outline stays untouched
     assert not green[10:40, 40:71][:, -1].any()
+
+
+def test_device_e2e_extract_to_decode_chain():
+    """The bench config-5 device pipeline at tiny dims on CPU: detector
+    test forward → vmapped decode_boxes_jax + select_detections_device →
+    fixed-shape features → captioner CBS decode, all inside jit — guards
+    the shape/dtype plumbing the TPU bench relies on."""
+    import jax
+    import jax.numpy as jnp
+
+    from style_seqcvae_tpu.decoding.cbs_fast import (
+        constrained_beam_search_fast, fsm_to_tables, stack_fsm_tables)
+    from style_seqcvae_tpu.models.captioner import (
+        CaptionerConfig, init_captioner, make_decode_context,
+        make_optimized_step_fn)
+    from style_seqcvae_tpu.models.detector.extract import (
+        decode_boxes_jax, select_detections_device)
+    from style_seqcvae_tpu.models.detector.faster_rcnn import (
+        DetectorConfig, detector_forward_test, init_detector)
+    from style_seqcvae_tpu.models.detector.rpn import RPNConfig
+    from style_seqcvae_tpu.models.detector.targets import ProposalTargetConfig
+    from style_seqcvae_tpu.models.updown_cell import init_cell_state
+
+    B, MAXB, FDIM, V = 2, 6, 2048, 40
+    det_cfg = DetectorConfig(
+        num_classes=5, num_att_classes=0, anchor_scales=(2, 4),
+        anchor_ratios=(0.5, 1.0, 2.0),
+        rpn=RPNConfig(anchor_scales=(2, 4), pre_nms_top_n=64,
+                      post_nms_top_n=12),
+        pt=ProposalTargetConfig(rois_per_image=8))
+    det_params = init_detector(jax.random.PRNGKey(0), det_cfg)
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.rand(B, 64, 96, 3).astype(np.float32) * 255)
+    im_info = jnp.asarray(np.tile([64.0, 96.0, 1.0], (B, 1)).astype(np.float32))
+
+    stds = (0.1, 0.1, 0.2, 0.2)
+    means = (0.0, 0.0, 0.0, 0.0)
+
+    @jax.jit
+    def extract_feats(p, im, info):
+        out = detector_forward_test(p, det_cfg, im, info,
+                                    post_nms_top_n=12, pre_nms_top_n=64)
+
+        def one_image(rois, bbox_pred, cls_prob, pooled, inf):
+            pred_boxes = decode_boxes_jax(rois[:, 1:5], bbox_pred, inf,
+                                          stds, means, inf[2],
+                                          det_cfg.num_classes)
+            sel = select_detections_device(cls_prob, pred_boxes, pooled,
+                                           thresh=0.05, nms_thresh=0.3,
+                                           max_per_image=MAXB)
+            return sel["features"]
+
+        return jax.vmap(one_image)(out["rois"], out["bbox_pred"],
+                                   out["cls_prob"], out["pooled_feat"], info)
+
+    feats = extract_feats(det_params, images, im_info)
+    assert feats.shape == (B, MAXB, FDIM)
+    assert np.isfinite(np.asarray(feats)).all()
+
+    cap_cfg = CaptionerConfig(
+        vocab_size=V, image_feature_size=FDIM, embedding_size=8,
+        hidden_size=6, attention_projection_size=4, z_space=3,
+        sentiment_vae=1, simple_vae=False, max_caption_length=5)
+    cap = init_captioner(jax.random.PRNGKey(1), cap_cfg)
+    f = np.zeros((4, 4, V), np.uint8)
+    for s in range(4):
+        f[s, s, :] = 1
+    f[0, 1, 5] = 1
+    f[0, 0, 5] = 0
+    tables = stack_fsm_tables([fsm_to_tables(f)] * B)
+
+    @jax.jit
+    def decode(cap, feats):
+        ctx = make_decode_context(cap, cap_cfg, feats,
+                                  sentiment=jnp.ones((B, 1)))
+        step = make_optimized_step_fn(cap, cap_cfg, ctx, return_raw=True)
+        start = jnp.full((B,), cap_cfg.boundary_index)
+        st = init_cell_state((B,), cap_cfg.hidden_size, jnp.float32)
+        seqs, lp = constrained_beam_search_fast(
+            step, start, st, tables, jax.random.PRNGKey(2), max_steps=5,
+            beam_size=3, per_node_beam_size=2,
+            end_index=cap_cfg.boundary_index, raw_step=True)
+        return seqs, lp
+
+    seqs, lp = decode(cap, feats)
+    assert seqs.shape == (B, 4, 3, 5)
+    assert np.isfinite(np.asarray(lp)[np.asarray(lp) > -1e18]).all()
