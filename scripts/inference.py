@@ -95,7 +95,12 @@ def main():
     if _A.model == "baseline":
         from style_seqcvae_tpu.models.baseline import init_baseline
 
-        params = init_baseline(jax.random.PRNGKey(_C.RANDOM_SEED), model_cfg, emb)
+        if emb is None:
+            params = jax.jit(lambda k: init_baseline(k, model_cfg))(
+                jax.random.PRNGKey(_C.RANDOM_SEED))
+        else:
+            params = jax.jit(lambda k, e: init_baseline(k, model_cfg, e))(
+                jax.random.PRNGKey(_C.RANDOM_SEED), jnp.asarray(emb))
     else:
         if emb is None:
             params = jax.jit(lambda k: init_captioner(k, model_cfg))(

@@ -121,7 +121,11 @@ def main():
     if _A.model == "baseline":
         from style_seqcvae_tpu.models.baseline import init_baseline
 
-        params = init_baseline(root_key, model_cfg, embedding_table)
+        if embedding_table is None:
+            params = jax.jit(lambda k: init_baseline(k, model_cfg))(root_key)
+        else:
+            params = jax.jit(lambda k, e: init_baseline(k, model_cfg, e))(
+                root_key, jnp.asarray(embedding_table))
     else:
         if embedding_table is None:
             params = jax.jit(lambda k: init_captioner(k, model_cfg))(root_key)

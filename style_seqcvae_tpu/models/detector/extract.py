@@ -149,6 +149,7 @@ def select_detections_device(scores, pred_boxes, pooled_feat,
     from style_seqcvae_tpu.ops.nms import nms
 
     P, C = scores.shape
+    assert C >= 2, "class-specific boxes expected (class_agnostic not supported on the device path; use the host select_detections)"
     ncls = C - start_index
     cls_scores = scores[:, start_index:].astype(jnp.float32).T      # (ncls, P)
     boxes_pc = pred_boxes.reshape(P, C, 4).transpose(1, 0, 2)[start_index:]
