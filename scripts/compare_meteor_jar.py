@@ -26,11 +26,30 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
+def _avg_ranks(x):
+    """Average ranks for ties (METEOR per-image scores tie often — e.g.
+    every zero-match caption scores exactly 0.0; double-argsort would
+    assign them arbitrary distinct ranks and bias the coefficient)."""
+    import numpy as np
+
+    x = np.asarray(x, float)
+    order = np.argsort(x, kind="mergesort")
+    ranks = np.empty(len(x), float)
+    i = 0
+    while i < len(x):
+        j = i
+        while j + 1 < len(x) and x[order[j + 1]] == x[order[i]]:
+            j += 1
+        ranks[order[i:j + 1]] = (i + j) / 2.0
+        i = j + 1
+    return ranks
+
+
 def spearman(a, b):
     import numpy as np
 
-    ra = np.argsort(np.argsort(a)).astype(float)
-    rb = np.argsort(np.argsort(b)).astype(float)
+    ra = _avg_ranks(a)
+    rb = _avg_ranks(b)
     ra -= ra.mean()
     rb -= rb.mean()
     denom = float(np.sqrt((ra ** 2).sum() * (rb ** 2).sum()))

@@ -69,7 +69,9 @@ def main():
         anchor_ratios=tuple(D.ANCHOR_RATIOS),
         rpn=RPNConfig(anchor_scales=tuple(D.ANCHOR_SCALES)))
 
-    params = jax.jit(lambda k: init_detector(k, det_cfg))(jax.random.PRNGKey(0))
+    from style_seqcvae_tpu.utils.jit_init import jit_init
+
+    params = jit_init(init_detector, det_cfg, jax.random.PRNGKey(0))
     if _A.checkpoint_path:
         from style_seqcvae_tpu.training.detector_optimizer import make_detector_optimizer
 

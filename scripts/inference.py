@@ -92,22 +92,16 @@ def main():
     emb = (hashed_random_embeddings(tokens, model_cfg.embedding_size,
                                     model_cfg.pad_index)
            if model_cfg.tie_embeddings else None)
+    from style_seqcvae_tpu.utils.jit_init import jit_init
+
     if _A.model == "baseline":
         from style_seqcvae_tpu.models.baseline import init_baseline
 
-        if emb is None:
-            params = jax.jit(lambda k: init_baseline(k, model_cfg))(
-                jax.random.PRNGKey(_C.RANDOM_SEED))
-        else:
-            params = jax.jit(lambda k, e: init_baseline(k, model_cfg, e))(
-                jax.random.PRNGKey(_C.RANDOM_SEED), jnp.asarray(emb))
+        params = jit_init(init_baseline, model_cfg,
+                          jax.random.PRNGKey(_C.RANDOM_SEED), emb)
     else:
-        if emb is None:
-            params = jax.jit(lambda k: init_captioner(k, model_cfg))(
-                jax.random.PRNGKey(_C.RANDOM_SEED))
-        else:
-            params = jax.jit(lambda k, e: init_captioner(k, model_cfg, e))(
-                jax.random.PRNGKey(_C.RANDOM_SEED), jnp.asarray(emb))
+        params = jit_init(init_captioner, model_cfg,
+                          jax.random.PRNGKey(_C.RANDOM_SEED), emb)
 
     if _A.checkpoint_path:
         ckpt = CheckpointManager(_A.checkpoint_path)

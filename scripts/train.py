@@ -118,22 +118,14 @@ def main():
             latent_dict = LatentDictionary.from_swn_scores(
                 _C.DATA.SWN_SCORES, model_cfg.z_space, model_cfg.latent_embedding_multip)
 
+    from style_seqcvae_tpu.utils.jit_init import jit_init
+
     if _A.model == "baseline":
         from style_seqcvae_tpu.models.baseline import init_baseline
 
-        if embedding_table is None:
-            params = jax.jit(lambda k: init_baseline(k, model_cfg))(root_key)
-        else:
-            params = jax.jit(lambda k, e: init_baseline(k, model_cfg, e))(
-                root_key, jnp.asarray(embedding_table))
+        params = jit_init(init_baseline, model_cfg, root_key, embedding_table)
     else:
-        if embedding_table is None:
-            params = jax.jit(lambda k: init_captioner(k, model_cfg))(root_key)
-        else:
-            # table rides as an ARG (a closure would bake a ~25 MB constant
-            # into the executable / compile-cache entry)
-            params = jax.jit(lambda k, emb: init_captioner(k, model_cfg, emb))(
-                root_key, jnp.asarray(embedding_table))
+        params = jit_init(init_captioner, model_cfg, root_key, embedding_table)
 
     mesh = make_mesh(_A.num_data, _A.num_model)
     params = shard_params(mesh, params)
@@ -219,9 +211,9 @@ def main():
         while iteration <= num_iterations:
             if windows_done < n_windows:
                 windows_done += 1
-                with timer.phase("data"):
+                with timer.phase("data", count=k_steps):
                     model_batch = next(staged)
-                with timer.phase("step"):
+                with timer.phase("step", count=k_steps):
                     state, metrics_k = chained_step(state, model_batch)
                 window = range(iteration, iteration + k_steps)
                 if any(it % _C.PRINT_EVERY_N_BATCHES == 0 or it % 2000 == 0

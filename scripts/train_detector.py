@@ -109,7 +109,9 @@ def main():
             num_classes=dataset.num_classes),
         att_loss_weight=D.ATT_LOSS_WEIGHT, remat=_A.remat)
 
-    params = jax.jit(lambda k: init_detector(k, det_cfg))(jax.random.PRNGKey(_A.seed))
+    from style_seqcvae_tpu.utils.jit_init import jit_init
+
+    params = jit_init(init_detector, det_cfg, jax.random.PRNGKey(_A.seed))
     steps_per_epoch = _A.steps_per_epoch or len(dataset)
     # the LR schedule decays by EPOCH: with image batching an epoch is
     # ceil(images / ims_per_batch) optimizer steps

@@ -64,12 +64,14 @@ class CocoDetectionDataset:
                 if im["id"] not in images:
                     images[im["id"]] = im
                     new_ids.add(im["id"])
-            dropped = 0
+            dropped = orphaned = 0
             for ann in data["annotations"]:
                 if ann["image_id"] in new_ids:
                     annotations.setdefault((ann["image_id"], ann["id"]), ann)
+                elif ann["image_id"] in images:
+                    dropped += 1      # image came from an EARLIER json
                 else:
-                    dropped += 1
+                    orphaned += 1     # image record missing everywhere
             if dropped:
                 # First-json-wins drops every later-json annotation of an
                 # already-seen image. Correct for the disjoint
@@ -82,6 +84,12 @@ class CocoDetectionDataset:
                     f"{dropped} annotation(s) in {path} reference images "
                     "already provided by an earlier instances json and were "
                     "skipped (first-json-wins union)", stacklevel=2)
+            if orphaned:
+                import warnings
+                warnings.warn(
+                    f"{orphaned} annotation(s) in {path} reference image ids "
+                    "with no image record in any provided instances json — "
+                    "dangling annotations skipped", stacklevel=2)
         data = {"categories": [{"id": i, "name": n}
                                for i, n in sorted(cats.items())],
                 "images": list(images.values()),

@@ -172,13 +172,19 @@ def init_captioner(key: jax.Array, cfg: CaptionerConfig,
     return params
 
 
+def tied_head_projection(params: Dict[str, Any], h_dec: jnp.ndarray) -> jnp.ndarray:
+    """Tied head's (…, E) pre-embedding activation: tanh(h·W_proj + b)
+    (reference updown_captioner.py:443-444)."""
+    return jnp.tanh(
+        jnp.dot(h_dec, params["output_projection"]["w"],
+                preferred_element_type=jnp.float32).astype(h_dec.dtype)
+        + params["output_projection"]["b"])
+
+
 def output_logits(params: Dict[str, Any], cfg: CaptionerConfig, h_dec: jnp.ndarray) -> jnp.ndarray:
     """Hidden state → vocabulary logits (reference updown_captioner.py:443-445)."""
     if cfg.tie_embeddings:
-        proj = jnp.tanh(
-            jnp.dot(h_dec, params["output_projection"]["w"],
-                    preferred_element_type=jnp.float32).astype(h_dec.dtype)
-            + params["output_projection"]["b"])
+        proj = tied_head_projection(params, h_dec)
         return jnp.dot(proj, params["embedding"].T,
                        preferred_element_type=jnp.float32).astype(h_dec.dtype)
     return (jnp.dot(h_dec, params["output_layer"]["w"],
@@ -368,6 +374,9 @@ def make_optimized_step_fn(params: Dict[str, Any], cfg: CaptionerConfig,
     Exactly equivalent to :func:`make_step_fn` (tested); supports every
     prior mode. Only the inference path (z ~ prior) is implemented."""
     if return_prehead:
+        if return_raw:
+            raise ValueError("return_prehead and return_raw are conflicting "
+                             "step contracts — pick one")
         assert cfg.tie_embeddings, (
             "return_prehead needs the tied output head (the untied head's "
             "(H, V) matrix has no E-dim bottleneck to hand back)")
@@ -477,12 +486,7 @@ def make_optimized_step_fn(params: Dict[str, Any], cfg: CaptionerConfig,
             # so the searcher can fuse the V-matmul into its selection
             # kernel (ops/pallas/vocab_topk_lse.py) — the (…, V) logits
             # never materialize.
-            proj = jnp.tanh(
-                jnp.dot(h_dec, params["output_projection"]["w"],
-                        preferred_element_type=jnp.float32
-                        ).astype(h_dec.dtype)
-                + params["output_projection"]["b"])
-            return proj, new_state
+            return tied_head_projection(params, h_dec), new_state
         logits = output_logits(params, cfg, h_dec)
         if return_raw:
             logz = jax.scipy.special.logsumexp(

@@ -110,17 +110,20 @@ def roi_align_pallas(features: jnp.ndarray, rois: jnp.ndarray, *,
                 if C > 128:
                     c_block = 128
         if c_block == C:
-            # No 128-multiple split divides C (or C itself isn't a lane
-            # multiple): the full-C window exceeds the 4 MB budget and large
-            # batches may blow scoped VMEM — say so instead of failing
-            # mysteriously inside Mosaic (shipped backbones are C=1024/512
-            # and never hit this).
+            # The full-C window exceeds the 4 MB budget and cannot shrink:
+            # either C is not a 128 multiple (pad channels), or C is
+            # already at the 128-lane minimum and the SPATIAL map is too
+            # big. Say so instead of failing mysteriously inside Mosaic
+            # (shipped backbones are C=1024/512 and never hit this).
             import warnings
+            advice = ("pad channels to a multiple of 128" if C % 128
+                      else "the spatial map is too large for a single-"
+                           "lane-group window — reduce the canvas")
             warnings.warn(
                 f"roi_align_pallas: feature window {H}x{W}x{C} is "
-                f"{H * W * C * 4 / 2**20:.1f} MB and C={C} admits no "
-                "128-multiple channel split — VMEM may overflow at large "
-                "batch; pad channels to a multiple of 128", stacklevel=2)
+                f"{H * W * C * 4 / 2**20:.1f} MB with no usable channel "
+                f"split — VMEM may overflow at large batch; {advice}",
+                stacklevel=2)
     n_c = C // c_block
 
     grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -60,11 +60,13 @@ class StepTimer:
         self.counts: Dict[str, int] = {}
 
     @contextlib.contextmanager
-    def phase(self, name: str):
+    def phase(self, name: str, count: int = 1):
+        """``count``: logical units this timed region covers — a K-step
+        chained dispatch passes K so ``summary()`` stays per-step."""
         t0 = time.time()
         yield
         self.totals[name] = self.totals.get(name, 0.0) + time.time() - t0
-        self.counts[name] = self.counts.get(name, 0) + 1
+        self.counts[name] = self.counts.get(name, 0) + count
 
     def summary(self) -> Dict[str, float]:
         return {f"{k}_ms": 1000.0 * v / max(self.counts[k], 1)
