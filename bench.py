@@ -467,16 +467,17 @@ def bench_diverse_oracle(batch=16, n_z=20, steps=3):
     gts = {i: [tok_str(best[0, i])] for i in range(batch)}
 
     cider = Cider()
+    corpus = cider.make_corpus(gts)   # ref-side state shared across calls
 
     def score(seqs):
         per_z = []
         for k in range(n_z):
             res_k = {i: [tok_str(seqs[k, i])] for i in range(batch)}
-            per_z.append(cider.compute_score(gts, res_k)[1])
+            per_z.append(cider.compute_score(gts, res_k, corpus=corpus)[1])
         arr = np.stack(per_z, axis=1)                    # (imgs, samples)
         argmax = np.argmax(arr, axis=1)
         res_best = {i: [tok_str(seqs[argmax[i], i])] for i in range(batch)}
-        return cider.compute_score(gts, res_best)[0]
+        return cider.compute_score(gts, res_best, corpus=corpus)[0]
 
     def round_args(i):
         return args[:-1] + (jax.random.PRNGKey(50 + i),)

@@ -121,6 +121,9 @@ def evaluate(updown_res: List[dict], gts: Dict,
     do_meteor = meteor_available() if do_meteor is None else do_meteor
 
     bleu, rouge, cider = Bleu(), Rouge(), Cider()
+    # reference-side CIDEr state (doc freq, ref vectors) is shared across
+    # the per-z and oracle scoring calls below — build it once
+    cider_corpus = cider.make_corpus(gts)
     meteor = Meteor() if do_meteor else None
 
     per_metric_all: Dict[str, List[List[float]]] = {
@@ -135,7 +138,7 @@ def evaluate(updown_res: List[dict], gts: Dict,
         rm, rs = rouge.compute_score(gts, res[k])
         per_metric_all["rouge"].append(rs)
         means["rouge"].append(rm)
-        cm, cs = cider.compute_score(gts, res[k])
+        cm, cs = cider.compute_score(gts, res[k], corpus=cider_corpus)
         per_metric_all["cider"].append(cs)
         means["cider"].append(cm)
         if meteor:
@@ -158,7 +161,7 @@ def evaluate(updown_res: List[dict], gts: Dict,
         if metric_key == "rouge":
             return rouge.compute_score(gts, res_best)[0]
         if metric_key == "cider":
-            return cider.compute_score(gts, res_best)[0]
+            return cider.compute_score(gts, res_best, corpus=cider_corpus)[0]
         if metric_key == "meteor":
             return meteor.compute_score(gts, res_best)[0]
         raise KeyError(metric_key)

@@ -82,6 +82,26 @@ def test_cider_orders_quality():
     assert g > b
 
 
+def test_cider_precomputed_corpus_matches_naive():
+    """The reusable-corpus path (oracle/z-loop fast path) must score
+    identically to building reference state from scratch each call."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    gts = {i: [" ".join(f"w{t}" for t in rng.randint(0, 50, 12)),
+               " ".join(f"w{t}" for t in rng.randint(0, 50, 8))]
+           for i in range(10)}
+    cider = Cider()
+    corpus = cider.make_corpus(gts)
+    for trial in range(3):
+        res = {i: [" ".join(f"w{t}" for t in rng.randint(0, 50, 10))]
+               for i in range(10)}
+        m0, s0 = cider.compute_score(gts, res)
+        m1, s1 = cider.compute_score(gts, res, corpus=corpus)
+        assert m0 == m1
+        assert s0 == s1
+
+
 def test_diversity():
     caps = [
         {"image_id": 1, "caption": "a dog"},
