@@ -121,8 +121,9 @@ def evaluate(updown_res: List[dict], gts: Dict,
     do_meteor = meteor_available() if do_meteor is None else do_meteor
 
     bleu, rouge, cider = Bleu(), Rouge(), Cider()
-    # reference-side CIDEr state (doc freq, ref vectors) is shared across
-    # the per-z and oracle scoring calls below — build it once
+    # reference-side BLEU/CIDEr state (doc freq, ref vectors/ngrams) is
+    # shared across the per-z and oracle scoring calls below — build once
+    bleu_corpus = bleu.make_corpus(gts)
     cider_corpus = cider.make_corpus(gts)
     meteor = Meteor() if do_meteor else None
 
@@ -131,7 +132,7 @@ def evaluate(updown_res: List[dict], gts: Dict,
     means: Dict[str, List[float]] = {k: [] for k in per_metric_all}
 
     for k in range(len(res)):
-        bm, bs = bleu.compute_score(gts, res[k])
+        bm, bs = bleu.compute_score(gts, res[k], corpus=bleu_corpus)
         for i in range(4):
             per_metric_all[f"B{i+1}"].append(bs[i])
             means[f"B{i+1}"].append(bm[i])
@@ -157,7 +158,8 @@ def evaluate(updown_res: List[dict], gts: Dict,
         argmax = np.argmax(arr, axis=1)
         res_best = {iid: res[argmax[j]][iid] for j, iid in enumerate(image_ids)}
         if metric_key.startswith("B"):
-            return bleu.compute_score(gts, res_best)[0][corpus_index]
+            return bleu.compute_score(gts, res_best,
+                                      corpus=bleu_corpus)[0][corpus_index]
         if metric_key == "rouge":
             return rouge.compute_score(gts, res_best)[0]
         if metric_key == "cider":

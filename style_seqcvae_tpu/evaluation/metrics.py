@@ -43,7 +43,23 @@ class Bleu:
     def __init__(self, n: int = 4):
         self._n = n
 
-    def compute_score(self, gts: Dict, res: Dict) -> Tuple[List[float], List[List[float]]]:
+    def make_corpus(self, gts: Dict) -> Dict:
+        """Precompute reference-side BLEU state (split lengths + clipped
+        max n-gram counts per image). Pass to ``compute_score`` when scoring
+        many candidate sets (per-z / oracle loops) against the same refs."""
+        n = self._n
+        corpus = {}
+        for image_id in gts:
+            ref_lens = [len(r.split()) for r in gts[image_id]]
+            maxcounts: Dict[tuple, int] = defaultdict(int)
+            for r in gts[image_id]:
+                for ng, c in _ngram_counts(r.split(), n).items():
+                    maxcounts[ng] = max(maxcounts[ng], c)
+            corpus[image_id] = (ref_lens, maxcounts)
+        return corpus
+
+    def compute_score(self, gts: Dict, res: Dict,
+                      corpus: Dict = None) -> Tuple[List[float], List[List[float]]]:
         n = self._n
         small, tiny = 1e-9, 1e-15
         total_testlen = 0
@@ -54,15 +70,17 @@ class Bleu:
 
         for image_id in gts:
             hyp = res[image_id][0].split()
-            refs = [r.split() for r in gts[image_id]]
             testlen = len(hyp)
+            if corpus is not None:
+                ref_lens, maxcounts = corpus[image_id]
+            else:
+                ref_lens = [len(r.split()) for r in gts[image_id]]
+                maxcounts = defaultdict(int)
+                for r in gts[image_id]:
+                    for ng, c in _ngram_counts(r.split(), n).items():
+                        maxcounts[ng] = max(maxcounts[ng], c)
             # closest reference length (ties → shorter, per pycocoevalcap)
-            reflen = min((abs(len(r) - testlen), len(r)) for r in refs)[1]
-
-            maxcounts: Dict[tuple, int] = defaultdict(int)
-            for r in refs:
-                for ng, c in _ngram_counts(r, n).items():
-                    maxcounts[ng] = max(maxcounts[ng], c)
+            reflen = min((abs(rl - testlen), rl) for rl in ref_lens)[1]
             hyp_counts = _ngram_counts(hyp, n)
             guess = [max(0, testlen - k) for k in range(n)]
             correct = [0] * n

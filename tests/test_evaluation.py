@@ -82,8 +82,8 @@ def test_cider_orders_quality():
     assert g > b
 
 
-def test_cider_precomputed_corpus_matches_naive():
-    """The reusable-corpus path (oracle/z-loop fast path) must score
+def test_precomputed_corpus_matches_naive():
+    """The reusable-corpus paths (oracle/z-loop fast path) must score
     identically to building reference state from scratch each call."""
     import numpy as np
 
@@ -91,15 +91,20 @@ def test_cider_precomputed_corpus_matches_naive():
     gts = {i: [" ".join(f"w{t}" for t in rng.randint(0, 50, 12)),
                " ".join(f"w{t}" for t in rng.randint(0, 50, 8))]
            for i in range(10)}
-    cider = Cider()
-    corpus = cider.make_corpus(gts)
+    bleu, cider = Bleu(), Cider()
+    bcorpus = bleu.make_corpus(gts)
+    ccorpus = cider.make_corpus(gts)
     for trial in range(3):
         res = {i: [" ".join(f"w{t}" for t in rng.randint(0, 50, 10))]
                for i in range(10)}
         m0, s0 = cider.compute_score(gts, res)
-        m1, s1 = cider.compute_score(gts, res, corpus=corpus)
+        m1, s1 = cider.compute_score(gts, res, corpus=ccorpus)
         assert m0 == m1
         assert s0 == s1
+        bm0, bs0 = bleu.compute_score(gts, res)
+        bm1, bs1 = bleu.compute_score(gts, res, corpus=bcorpus)
+        assert bm0 == bm1
+        assert bs0 == bs1
 
 
 def test_diversity():
