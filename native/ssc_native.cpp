@@ -164,4 +164,38 @@ int64_t ssc_unpack_obj_atts_det(const float* stream, int64_t n,
   return n_obj;
 }
 
+// Batched LCS lengths for ROUGE-L (rouge.py's my_lcs over token sequences).
+// a_flat/b_flat hold all hypothesis/reference token-id sequences back to
+// back; a_off/b_off are n_pairs+1 prefix offsets. out[i] = |LCS(a_i, b_i)|.
+// Classic O(len_a*len_b) DP with a rolling row; caption lengths are tiny
+// (<100 tokens) so the row lives in cache.
+void ssc_lcs_lens(const int32_t* a_flat, const int64_t* a_off,
+                  const int32_t* b_flat, const int64_t* b_off,
+                  int64_t n_pairs, int32_t* out) {
+  std::vector<int32_t> prev, cur;
+  for (int64_t p = 0; p < n_pairs; ++p) {
+    const int32_t* a = a_flat + a_off[p];
+    const int32_t* b = b_flat + b_off[p];
+    const int64_t na = a_off[p + 1] - a_off[p];
+    const int64_t nb = b_off[p + 1] - b_off[p];
+    if (na == 0 || nb == 0) {
+      out[p] = 0;
+      continue;
+    }
+    prev.assign(nb + 1, 0);
+    cur.assign(nb + 1, 0);
+    for (int64_t i = 1; i <= na; ++i) {
+      const int32_t ai = a[i - 1];
+      for (int64_t j = 1; j <= nb; ++j) {
+        if (ai == b[j - 1])
+          cur[j] = prev[j - 1] + 1;
+        else
+          cur[j] = prev[j] > cur[j - 1] ? prev[j] : cur[j - 1];
+      }
+      std::swap(prev, cur);
+    }
+    out[p] = prev[nb];
+  }
+}
+
 }  // extern "C"

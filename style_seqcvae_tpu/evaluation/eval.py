@@ -12,11 +12,20 @@ from __future__ import annotations
 
 import csv
 import json
+from functools import lru_cache
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
 from style_seqcvae_tpu.data.tokenizer import tokenize_caption, word_tokenize
+
+
+@lru_cache(maxsize=1 << 18)
+def _cached_tokens(caption: str) -> tuple:
+    """Tokenization is a pure function and the Div-1/2 sweeps re-tokenize
+    the same caption strings four times (all + top-5 sets, two n sizes) —
+    plus diverse sampling repeats captions across z. Memoize."""
+    return tuple(word_tokenize(caption))
 from style_seqcvae_tpu.evaluation.metrics import Bleu, Cider, Meteor, Rouge, meteor_available
 
 
@@ -74,7 +83,7 @@ def n_gram_diversity(captions: List[dict], n_gram_size: int = 1) -> float:
         uniq = set()
         n_words = 0
         for c in caps:
-            toks = word_tokenize(c)
+            toks = _cached_tokens(c)
             n_words += len(toks)
             for i in range(len(toks) - n_gram_size + 1):
                 uniq.add(tuple(toks[i:i + n_gram_size]))

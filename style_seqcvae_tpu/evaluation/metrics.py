@@ -150,8 +150,63 @@ class Rouge:
         return 0.0
 
     def compute_score(self, gts: Dict, res: Dict) -> Tuple[float, List[float]]:
-        scores = [self.calc_score(res[i], gts[i]) for i in gts]
+        scores = self._batched_scores(gts, res)
+        if scores is None:  # no native library → per-image pure-Python DP
+            scores = [self.calc_score(res[i], gts[i]) for i in gts]
         return float(sum(scores) / len(scores)), scores
+
+    def _batched_scores(self, gts: Dict, res: Dict):
+        """All (hyp, ref) LCS pairs in one native call (native.lcs_lens);
+        identical scores to :meth:`calc_score`, ~an order of magnitude
+        faster than the Python DP on full eval sweeps."""
+        import numpy as np
+
+        from style_seqcvae_tpu import native
+
+        if not native.native_available():
+            return None
+        vocab: Dict[str, int] = {}
+
+        def ids(s: str):
+            out = []
+            for w in s.split():
+                k = vocab.get(w)
+                if k is None:
+                    k = vocab[w] = len(vocab)
+                out.append(k)
+            return np.asarray(out, np.int32)
+
+        image_ids = list(gts.keys())
+        a_seqs, b_seqs, ref_lens, hyp_lens, n_refs = [], [], [], [], []
+        for i in image_ids:
+            hyp = ids(res[i][0])
+            n_refs.append(len(gts[i]))
+            for ref in gts[i]:
+                r = ids(ref)
+                a_seqs.append(hyp)
+                b_seqs.append(r)
+                ref_lens.append(len(r))
+                hyp_lens.append(len(hyp))
+        lcs = native.lcs_lens(a_seqs, b_seqs)
+        if lcs is None:
+            return None
+        hl = np.asarray(hyp_lens, np.float64)
+        rl = np.asarray(ref_lens, np.float64)
+        lcsf = lcs.astype(np.float64)
+        prec = np.divide(lcsf, hl, out=np.zeros_like(lcsf), where=hl > 0)
+        rec = np.divide(lcsf, rl, out=np.zeros_like(lcsf), where=rl > 0)
+        b2 = self._beta ** 2
+        scores: List[float] = []
+        k = 0
+        for nr in n_refs:
+            pm = float(prec[k:k + nr].max())
+            rm = float(rec[k:k + nr].max())
+            k += nr
+            if pm != 0 and rm != 0:
+                scores.append(((1 + b2) * pm * rm) / (rm + b2 * pm))
+            else:
+                scores.append(0.0)
+        return scores
 
 
 class CiderCorpus:

@@ -48,6 +48,7 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.ssc_unpack_obj_atts.argtypes = [u8p, i64, i32p, i32p, i32p, i64p]
         lib.ssc_unpack_obj_atts_det.restype = i64
         lib.ssc_unpack_obj_atts_det.argtypes = [f32p, i64, i32p, i32p, i32p, f32p, i64p]
+        lib.ssc_lcs_lens.argtypes = [i32p, i64p, i32p, i64p, i64, i32p]
         _lib = lib
     except Exception:
         _lib = None
@@ -180,6 +181,31 @@ def unpack_obj_atts_det(stream: np.ndarray) -> List[List]:
     for k in range(n_atts.value):
         result[att_obj[k]][1].append([int(att_ids[k]), float(att_scores[k])])
     return result
+
+
+def lcs_lens(a_seqs: List[np.ndarray], b_seqs: List[np.ndarray]) -> Optional[np.ndarray]:
+    """Batched longest-common-subsequence lengths over int token-id pairs
+    (ROUGE-L host path). Returns None when the native library is
+    unavailable — callers fall back to the pure-Python DP."""
+    lib = _load()
+    if lib is None:
+        return None
+    n = len(a_seqs)
+    a_off = np.zeros((n + 1,), np.int64)
+    b_off = np.zeros((n + 1,), np.int64)
+    np.cumsum([len(s) for s in a_seqs], out=a_off[1:])
+    np.cumsum([len(s) for s in b_seqs], out=b_off[1:])
+    a_flat = (np.concatenate(a_seqs) if a_off[-1]
+              else np.empty((0,), np.int32)).astype(np.int32, copy=False)
+    b_flat = (np.concatenate(b_seqs) if b_off[-1]
+              else np.empty((0,), np.int32)).astype(np.int32, copy=False)
+    a_flat = np.ascontiguousarray(a_flat)
+    b_flat = np.ascontiguousarray(b_flat)
+    out = np.empty((n,), np.int32)
+    lib.ssc_lcs_lens(_ptr(a_flat, ctypes.c_int32), _ptr(a_off, ctypes.c_int64),
+                     _ptr(b_flat, ctypes.c_int32), _ptr(b_off, ctypes.c_int64),
+                     n, _ptr(out, ctypes.c_int32))
+    return out
 
 
 def native_available() -> bool:

@@ -73,3 +73,22 @@ def test_native_unpack_matches_python():
         assert g[0] == w[0]
         for (gi, gs), (wi, ws) in zip(g[1], w[1]):
             assert gi == wi and abs(gs - ws) < 1e-6
+
+
+def test_native_lcs_matches_python_dp():
+    from style_seqcvae_tpu.evaluation.metrics import _lcs_len
+
+    rng = np.random.RandomState(11)
+    a_seqs, b_seqs = [], []
+    for _ in range(50):
+        a_seqs.append(rng.randint(0, 20, rng.randint(0, 30)).astype(np.int32))
+        b_seqs.append(rng.randint(0, 20, rng.randint(0, 30)).astype(np.int32))
+    a_seqs.append(np.empty((0,), np.int32))   # empty-vs-nonempty
+    b_seqs.append(np.arange(5, dtype=np.int32))
+    got = native.lcs_lens(a_seqs, b_seqs)
+    if got is None:
+        import pytest
+        pytest.skip("native library unavailable")
+    want = [_lcs_len([str(x) for x in a], [str(x) for x in b])
+            for a, b in zip(a_seqs, b_seqs)]
+    np.testing.assert_array_equal(got, np.asarray(want, np.int32))
