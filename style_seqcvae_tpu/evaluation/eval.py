@@ -18,6 +18,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import numpy as np
 
 from style_seqcvae_tpu.data.tokenizer import tokenize_caption, word_tokenize
+from style_seqcvae_tpu.evaluation.metrics import Bleu, Cider, Meteor, Rouge, meteor_available
 
 
 @lru_cache(maxsize=1 << 18)
@@ -26,7 +27,6 @@ def _cached_tokens(caption: str) -> tuple:
     the same caption strings four times (all + top-5 sets, two n sizes) —
     plus diverse sampling repeats captions across z. Memoize."""
     return tuple(word_tokenize(caption))
-from style_seqcvae_tpu.evaluation.metrics import Bleu, Cider, Meteor, Rouge, meteor_available
 
 
 def read_wordforms(path: str) -> Dict[str, List[str]]:

@@ -74,10 +74,11 @@ class Bleu:
             if corpus is not None:
                 ref_lens, maxcounts = corpus[image_id]
             else:
-                ref_lens = [len(r.split()) for r in gts[image_id]]
+                refs = [r.split() for r in gts[image_id]]
+                ref_lens = [len(r) for r in refs]
                 maxcounts = defaultdict(int)
-                for r in gts[image_id]:
-                    for ng, c in _ngram_counts(r.split(), n).items():
+                for r in refs:
+                    for ng, c in _ngram_counts(r, n).items():
                         maxcounts[ng] = max(maxcounts[ng], c)
             # closest reference length (ties → shorter, per pycocoevalcap)
             reflen = min((abs(rl - testlen), rl) for rl in ref_lens)[1]
@@ -103,7 +104,7 @@ class Bleu:
                     b *= math.exp(1 - 1 / ratio)
                 per_image[k].append(b)
 
-        corpus: List[float] = []
+        corpus_scores: List[float] = []
         bleu = 1.0
         for k in range(n):
             bleu *= (total_correct[k] + tiny) / (total_guess[k] + small)
@@ -111,8 +112,8 @@ class Bleu:
             ratio = (total_testlen + tiny) / (total_reflen + small)
             if ratio < 1:
                 b *= math.exp(1 - 1 / ratio)
-            corpus.append(b)
-        return corpus, per_image
+            corpus_scores.append(b)
+        return corpus_scores, per_image
 
 
 def _lcs_len(a: Sequence[str], b: Sequence[str]) -> int:
@@ -244,7 +245,10 @@ class CiderCorpus:
         norm = [0.0] * n
         length = 0
         for ng, tf in counts.items():
-            df = math.log(max(1.0, doc_freq[ng]))
+            # .get, NOT [] — doc_freq is a defaultdict shared across calls;
+            # indexing would insert a 0.0 for every hypothesis n-gram and
+            # grow the reused corpus without bound
+            df = math.log(max(1.0, doc_freq.get(ng, 0.0)))
             k = len(ng) - 1
             vec[k][ng] = float(tf) * (ref_len - df)
             norm[k] += vec[k][ng] ** 2
@@ -260,7 +264,7 @@ class CiderCorpus:
             vrk = vr[k]
             acc = 0.0
             for ng, h in vh[k].items():
-                r = vrk[ng]
+                r = vrk.get(ng, 0.0)  # .get: don't grow the shared ref dict
                 acc += (h if h < r else r) * r
             if nh[k] != 0 and nr[k] != 0:
                 acc /= nh[k] * nr[k]
@@ -283,6 +287,10 @@ class Cider:
         n = self._n
         if corpus is None:
             corpus = CiderCorpus(gts, n, self._sigma)
+        elif set(corpus.image_ids) != set(gts.keys()):
+            raise ValueError(
+                "CiderCorpus was built from different gts than this call's "
+                f"({len(corpus.image_ids)} vs {len(gts)} images)")
 
         scores: List[float] = []
         for i in corpus.image_ids:

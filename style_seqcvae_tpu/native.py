@@ -28,9 +28,15 @@ def _load() -> Optional[ctypes.CDLL]:
         return _lib
     _tried = True
     try:
-        if not os.path.exists(_LIB_PATH):
+        # always invoke make: the target depends on ssc_native.cpp, so a
+        # stale prebuilt .so (older source, missing newer symbols) rebuilds
+        # instead of silently failing the symbol lookups below
+        try:
             subprocess.run(["make", "-C", os.path.join(_REPO_ROOT, "native")],
                            check=True, capture_output=True)
+        except Exception:
+            if not os.path.exists(_LIB_PATH):
+                raise  # no compiler AND no prebuilt library → fallbacks
         lib = ctypes.CDLL(_LIB_PATH)
         i64, f32p, u8p, u32p, i32p, i64p = (
             ctypes.c_int64, ctypes.POINTER(ctypes.c_float),
@@ -48,7 +54,10 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.ssc_unpack_obj_atts.argtypes = [u8p, i64, i32p, i32p, i32p, i64p]
         lib.ssc_unpack_obj_atts_det.restype = i64
         lib.ssc_unpack_obj_atts_det.argtypes = [f32p, i64, i32p, i32p, i32p, f32p, i64p]
-        lib.ssc_lcs_lens.argtypes = [i32p, i64p, i32p, i64p, i64, i32p]
+        try:  # symbol added later — an old .so still serves the rest
+            lib.ssc_lcs_lens.argtypes = [i32p, i64p, i32p, i64p, i64, i32p]
+        except AttributeError:
+            pass
         _lib = lib
     except Exception:
         _lib = None
@@ -188,7 +197,7 @@ def lcs_lens(a_seqs: List[np.ndarray], b_seqs: List[np.ndarray]) -> Optional[np.
     (ROUGE-L host path). Returns None when the native library is
     unavailable — callers fall back to the pure-Python DP."""
     lib = _load()
-    if lib is None:
+    if lib is None or not hasattr(lib, "ssc_lcs_lens"):
         return None
     n = len(a_seqs)
     a_off = np.zeros((n + 1,), np.int64)

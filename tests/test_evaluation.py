@@ -106,6 +106,23 @@ def test_precomputed_corpus_matches_naive():
         assert bm0 == bm1
         assert bs0 == bs1
 
+    # the shared corpus must not grow as hypotheses are scored against it
+    # (defaultdict lookup-inserts would leak every hypothesis n-gram)
+    df_size = len(ccorpus.doc_freq)
+    vec_sizes = [len(v[0][0][k]) for v in ccorpus.ref_vecs.values()
+                 for k in range(4)]
+    res = {i: [" ".join(f"x{t}" for t in rng.randint(0, 50, 10))]
+           for i in range(10)}
+    cider.compute_score(gts, res, corpus=ccorpus)
+    assert len(ccorpus.doc_freq) == df_size
+    assert [len(v[0][0][k]) for v in ccorpus.ref_vecs.values()
+            for k in range(4)] == vec_sizes
+
+    # a corpus built from different gts must be rejected loudly
+    import pytest
+    with pytest.raises(ValueError):
+        cider.compute_score({0: ["a b"]}, {0: ["a b"]}, corpus=ccorpus)
+
 
 def test_diversity():
     caps = [
