@@ -61,16 +61,32 @@ def _kernel(batch_idx_ref, rois_flat_ref, feat_ref, out_ref, *,
         return jnp.where(empty, 0.0, v)
 
     inv = 1.0 / (sampling * sampling)
-    for ph in range(pooled):          # static unroll: 7×7×S×S samples
-        for pw in range(pooled):
-            acc = jnp.zeros(feat_ref.shape[-1:], jnp.float32)
-            for iy in range(sampling):
-                for ix in range(sampling):
-                    y = y1 + (ph + (iy + 0.5) / sampling) * bin_h
-                    x = x1 + (pw + (ix + 0.5) / sampling) * bin_w
-                    acc = acc + sample(y, x)
-            # accumulate in f32, store in the feature dtype (bf16 inference)
-            out_ref[0, ph, pw, :] = (acc * inv).astype(out_ref.dtype)
+
+    # fori_loop over the pooled bins, NOT a static 7×7 unroll: the unrolled
+    # form emits pooled²·sampling²·4 dynamic VMEM loads (784 at defaults)
+    # and the remote Mosaic compile of that body costs 60-240 s — paid at
+    # executable LOAD by every process, cache hit or not (the persistent
+    # XLA cache stores the Mosaic payload as MLIR, compiled per-load). The
+    # looped body has 49× fewer ops and compiles in seconds; runtime is
+    # unchanged (the kernel is DMA-bound on the feature-window fill).
+    def bin_body(i, carry):
+        ph = i // pooled
+        pw = i % pooled
+        phf = ph.astype(jnp.float32)
+        pwf = pw.astype(jnp.float32)
+        acc = jnp.zeros(feat_ref.shape[-1:], jnp.float32)
+        for iy in range(sampling):
+            for ix in range(sampling):
+                y = y1 + (phf + (iy + 0.5) / sampling) * bin_h
+                x = x1 + (pwf + (ix + 0.5) / sampling) * bin_w
+                acc = acc + sample(y, x)
+        # accumulate in f32, store in the feature dtype (bf16 inference);
+        # dynamic sublane store is fine in f32 (16-bit dtypes are not,
+        # which is why the kernel runs f32 internally)
+        out_ref[0, ph, pw, :] = (acc * inv).astype(out_ref.dtype)
+        return carry
+
+    jax.lax.fori_loop(0, pooled * pooled, bin_body, 0, unroll=False)
 
 
 def roi_align_pallas(features: jnp.ndarray, rois: jnp.ndarray, *,
