@@ -15,6 +15,13 @@ parser.add_argument("--detections", required=True,
 parser.add_argument("--instances-json", required=True,
                     help="COCO instances JSON with ground-truth annotations")
 parser.add_argument("--output", default="")
+parser.add_argument("--vis-dir", default="",
+                    help="draw boxes onto each image named in the "
+                         "detections (requires --image-root) and save "
+                         "annotated PNGs here (net_utils.py:50-60)")
+parser.add_argument("--image-root", default="",
+                    help="directory holding the raw images for --vis-dir")
+parser.add_argument("--vis-thresh", type=float, default=0.5)
 
 
 def main():
@@ -34,6 +41,39 @@ def main():
         print(f"  {name}: {ap:.4f}")
     if args.output:
         json.dump({k: v for k, v in out.items()}, open(args.output, "w"), indent=1)
+
+    if args.vis_dir:
+        import numpy as np
+        from PIL import Image
+
+        os.makedirs(args.vis_dir, exist_ok=True)
+        names = {c["id"]: c["name"] for c in gt["categories"]}
+        files = {im["id"]: im.get("file_name", f"{im['id']}.jpg")
+                 for im in gt.get("images", [])}
+        by_image = {}
+        for d in dets:
+            by_image.setdefault(d["image_id"], []).append(d)
+        for image_id, img_dets in by_image.items():
+            path = os.path.join(args.image_root, files.get(image_id, ""))
+            if not os.path.isfile(path):
+                continue
+            img = np.asarray(Image.open(path).convert("RGB"))
+            boxes = np.asarray([[d["bbox"][0], d["bbox"][1],
+                                 d["bbox"][0] + d["bbox"][2],
+                                 d["bbox"][1] + d["bbox"][3]]
+                                for d in img_dets], np.float32)
+            scores = np.asarray([d["score"] for d in img_dets], np.float32)
+            labels = np.asarray([d["category_id"] for d in img_dets])
+            from style_seqcvae_tpu.utils.visualize import vis_detections
+
+            out_img = img
+            for cid in np.unique(labels):
+                sel = labels == cid
+                d5 = np.concatenate([boxes[sel], scores[sel, None]], axis=1)
+                out_img = vis_detections(out_img, names.get(int(cid), str(cid)),
+                                         d5, thresh=args.vis_thresh)
+            Image.fromarray(out_img).save(
+                os.path.join(args.vis_dir, f"{image_id}.png"))
 
 
 if __name__ == "__main__":

@@ -120,3 +120,54 @@ def test_samplers():
     # samples without replacement: beams distinct per batch element
     s = np.asarray(seqs)
     assert not np.array_equal(s[0, 0], s[0, 1]) or not np.array_equal(s[0, 1], s[0, 2])
+
+
+def test_vis_detections_draws_boxes():
+    """vis_detections (net_utils.py:50-60 analogue) draws outlines for
+    above-threshold boxes, skips below-threshold ones, and leaves the
+    input image untouched."""
+    from style_seqcvae_tpu.utils.visualize import vis_detections
+
+    img = np.zeros((64, 64, 3), np.uint8)
+    dets = np.asarray([[8, 8, 40, 40, 0.9],
+                       [50, 50, 60, 60, 0.1]], np.float32)
+    out = vis_detections(img, "dog", dets, thresh=0.5)
+    assert out.shape == img.shape and out.dtype == np.uint8
+    assert img.sum() == 0                       # input not mutated
+    # outline of the high-score box is drawn...
+    assert out[8:41, 8, :].sum() > 0 and out[40, 8:41, :].sum() > 0
+    # ...and the low-score box's right edge area stays black
+    assert out[55:60, 59, :].sum() == 0
+
+
+def test_eval_detections_cli_vis_dir(tmp_path):
+    """--vis-dir writes an annotated PNG per image in the detections."""
+    import json
+    import subprocess
+    import sys
+    from PIL import Image
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    Image.fromarray(np.zeros((60, 80, 3), np.uint8)).save(img_dir / "im1.jpg")
+    gt = {
+        "images": [{"id": 1, "file_name": "im1.jpg", "width": 80, "height": 60}],
+        "annotations": [{"id": 1, "image_id": 1, "category_id": 7,
+                         "bbox": [10, 10, 20, 20], "area": 400, "iscrowd": 0}],
+        "categories": [{"id": 7, "name": "cat"}],
+    }
+    dets = [{"image_id": 1, "category_id": 7,
+             "bbox": [10.0, 10.0, 20.0, 20.0], "score": 0.95}]
+    (tmp_path / "gt.json").write_text(json.dumps(gt))
+    (tmp_path / "dets.json").write_text(json.dumps(dets))
+    vis = tmp_path / "vis"
+    r = subprocess.run(
+        [sys.executable, "scripts/eval_detections.py",
+         "--detections", str(tmp_path / "dets.json"),
+         "--instances-json", str(tmp_path / "gt.json"),
+         "--vis-dir", str(vis), "--image-root", str(img_dir)],
+        capture_output=True, text=True, cwd=".")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert (vis / "1.png").is_file()
+    drawn = np.asarray(Image.open(vis / "1.png"))
+    assert drawn.sum() > 0                      # something was drawn
