@@ -230,6 +230,17 @@ def _per_step_kld(cfg: CaptionerConfig, q_mean, q_log_var, prior_mean, prior_log
     return -0.5 * jnp.sum(kld, axis=-1)
 
 
+# Unroll factor for the training time-step scan. Hypothesis tested round 3:
+# the step is weight-stream bound (~31% of HBM bandwidth re-streams the LSTM
+# gate matrices and tied vocab head every scan iteration), so unrolling
+# might keep weights resident across k steps. Measured on one v5e at bs=32
+# chained-K10 bf16 (ms/step): unroll 1 → 19.2, 2 → 21.4, 4 → 20.8,
+# 5 → 20.7 — unrolling is strictly WORSE (XLA re-streams the weights per
+# unrolled body anyway and the longer program schedules worse). Kept at 1;
+# the knob stays so the measurement is reproducible.
+_TRAIN_SCAN_UNROLL = 1
+
+
 def train_forward(params: Dict[str, Any], cfg: CaptionerConfig, batch: Dict[str, jnp.ndarray],
                   rng: jax.Array) -> Dict[str, jnp.ndarray]:
     """Teacher-forced training forward pass.
@@ -280,7 +291,8 @@ def train_forward(params: Dict[str, Any], cfg: CaptionerConfig, batch: Dict[str,
         kld = _per_step_kld(cfg, q_mean, q_log_var, p_mean, prior_log_var)
         return new_state, (logits, kld)
 
-    _, (logits_t, kld_t) = jax.lax.scan(scan_step, init_state, (token_embs, step_keys))
+    _, (logits_t, kld_t) = jax.lax.scan(scan_step, init_state, (token_embs, step_keys),
+                                        unroll=_TRAIN_SCAN_UNROLL)
     logits = jnp.transpose(logits_t, (1, 0, 2))   # (B, T, V)
     klds = kld_t.T * tokens_mask[:, 1:].astype(kld_t.dtype)  # (B, T)
 
