@@ -690,13 +690,52 @@ def bench_serving_latency(n_z=20, beam=5, steps=5):
         serve_feats_only(warm_feats, jax.random.PRNGKey(20 + i))
         feat_times.append(time.time() - t0)
 
+    # Fused single-program path (round 3, style_seqcvae_tpu/serving.py):
+    # detector → on-device constraint selection (device_fsm.py) → FSM
+    # tables → CBS decode compiled as ONE program — one tunnel round-trip
+    # per request instead of two, and live constraints from THIS image's
+    # attribute detections instead of fixed tables.
+    from style_seqcvae_tpu.decoding.device_fsm import AttributeWordformTable
+    from style_seqcvae_tpu.serving import make_serve_fn
+
+    A = det_cfg.num_att_classes
+    wordform_table = AttributeWordformTable(
+        tokens=rng.randint(2, V, (A, 5)).astype(np.int32),
+        valid=np.ones((A, 5), bool),
+        selectable=np.ones((A,), bool),
+        canonical=np.arange(A, dtype=np.int32))
+    cap_cfg = _cfg(beam_size=beam, use_cbs=True)
+    serve_fused = make_serve_fn(
+        det_cfg, cap_cfg, wordform_table, n_z=n_z, beam_size=beam,
+        max_boxes=BOXES, det_thresh=0.05, det_nms_thresh=D.TEST.NMS,
+        rpn_pre_nms_top_n=D.TEST.RPN_PRE_NMS_TOP_N,
+        rpn_post_nms_top_n=D.TEST.RPN_POST_NMS_TOP_N,
+        rpn_nms_thresh=D.TEST.RPN_NMS_THRESH,
+        bbox_normalize_stds=D.TRAIN.BBOX_NORMALIZE_STDS,
+        bbox_normalize_means=D.TRAIN.BBOX_NORMALIZE_MEANS)
+    sent = jnp.ones((1, 1), jnp.float32)
+    t0 = time.time()
+    _sync(serve_fused(det_params, cap_params, image, info, sent,
+                      jax.random.PRNGKey(1))[3])
+    fused_compile_s = time.time() - t0
+    fused_times = []
+    for i in range(steps):
+        t0 = time.time()
+        _sync(serve_fused(det_params, cap_params, image, info, sent,
+                          jax.random.PRNGKey(40 + i))[3])
+        fused_times.append(time.time() - t0)
+
     return dict(metric="serving_latency_ms_one_image_20_captions",
-                value=round(1000 * min(e2e_times), 1), unit="ms",
+                value=round(1000 * min(fused_times), 1), unit="ms",
                 config="serving", items=1,
                 flops=decode_flops(1, n_z, 8, beam, SEQ, BOXES),
                 bytes=decode_weight_stream(SEQ),
-                seconds=min(e2e_times), compile_s=compile_s,
-                n_dispatches=2,
+                seconds=min(fused_times),
+                compile_s=compile_s + fused_compile_s,
+                chain_compile_s=round(compile_s, 1),
+                fused_compile_s=round(fused_compile_s, 1),
+                n_dispatches=1,
+                two_dispatch_latency_ms=round(1000 * min(e2e_times), 1),
                 feats_only_latency_ms=round(1000 * min(feat_times), 1))
 
 

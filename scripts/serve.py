@@ -1,0 +1,203 @@
+"""Single-dispatch serving CLI: raw image(s) → N diverse CBS captions.
+
+The deployment story the reference lacks: its pipeline is three processes
+with two file handoffs (frcnn/test_net.py --feat_extract → host FSM build
+per image/z-sample, updown datasets.py:470-580 → var_updown inference at
+batch size 1). Here the whole request — detector forward, on-device box
+selection, per-z random attribute constraints, FSM table build, CBS beam
+decode, best-beam pick — is ONE compiled XLA program
+(style_seqcvae_tpu/serving.py): one device dispatch per request.
+
+    python scripts/serve.py --config cfg.yml --image a.jpg b.jpg \
+        --checkpoint-path ckpt/ --det-checkpoint-path det_ckpt/ \
+        --attrib-names-json attribs.json --output preds.json
+
+Attribute-head names come from --attribs-dir (the COCO-Attributes index,
+reference misc/gen_coco_attribute_objs.py) or a plain JSON list
+(--attrib-names-json). Without either, serving falls back to
+unconstrained decoding (num_constraints = 0 FSMs).
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+parser = argparse.ArgumentParser(description=__doc__)
+parser.add_argument("--config", required=True)
+parser.add_argument("--config-override", nargs="*", default=[])
+parser.add_argument("--image", nargs="+", required=True,
+                    help="image file(s); each is served as one request")
+parser.add_argument("--checkpoint-path", default="",
+                    help="captioner Orbax checkpoint dir")
+parser.add_argument("--checkpoint-name", default="checkpoint_best")
+parser.add_argument("--det-checkpoint-path", default="",
+                    help="detector Orbax checkpoint dir")
+parser.add_argument("--det-checkpoint-name", default="")
+parser.add_argument("--attribs-dir", default="",
+                    help="COCO-Attributes index dir (attribute-head names)")
+parser.add_argument("--attrib-names-json", default="",
+                    help="JSON list of attribute-head names (alternative "
+                         "to --attribs-dir)")
+parser.add_argument("--num-classes", type=int, default=81)
+parser.add_argument("--sentiment", type=float, default=1.0)
+parser.add_argument("--output", default="",
+                    help="predictions JSON (image_id, caption, candidates)")
+parser.add_argument("--cpu", action="store_true")
+parser.add_argument("--f32", action="store_true",
+                    help="decode in float32 (default bfloat16)")
+
+
+def main():
+    _A = parser.parse_args()
+    import jax
+
+    if _A.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    from style_seqcvae_tpu.utils.cache import enable_compile_cache
+    enable_compile_cache()
+    import jax.numpy as jnp
+
+    from style_seqcvae_tpu.config import Config
+    from style_seqcvae_tpu.data.detection import (
+        load_image_bgr, prepare_image_np)
+    from style_seqcvae_tpu.data.vocabulary import (
+        Vocabulary, add_constraint_words_to_vocabulary)
+    from style_seqcvae_tpu.decoding.device_fsm import (
+        build_attribute_wordform_table)
+    from style_seqcvae_tpu.decoding.fsm import FiniteStateMachineBuilder
+    from style_seqcvae_tpu.decoding.harness import detokenize
+    from style_seqcvae_tpu.models.captioner import (
+        CaptionerConfig, hashed_random_embeddings, init_captioner)
+    from style_seqcvae_tpu.models.detector.faster_rcnn import (
+        DetectorConfig, init_detector)
+    from style_seqcvae_tpu.models.detector.rpn import RPNConfig
+    from style_seqcvae_tpu.serving import make_serve_fn
+    from style_seqcvae_tpu.training.checkpointing import CheckpointManager
+    from style_seqcvae_tpu.utils.jit_init import jit_init
+
+    _C = Config(_A.config, _A.config_override)
+    D = _C.DET
+
+    vocabulary = Vocabulary.from_files(_C.DATA.VOCABULARY)
+    if _C.DATA.CBS.WORDFORMS:
+        add_constraint_words_to_vocabulary(vocabulary, _C.DATA.CBS.WORDFORMS)
+    if _C.DATA.CBS.WORDFORMS_ATTRIBS:
+        add_constraint_words_to_vocabulary(
+            vocabulary, _C.DATA.CBS.WORDFORMS_ATTRIBS)
+
+    # attribute-head names → wordform token table
+    attrib_names = []
+    if _A.attrib_names_json:
+        with open(_A.attrib_names_json) as f:
+            attrib_names = json.load(f)
+    elif _A.attribs_dir:
+        from style_seqcvae_tpu.data.readers import CocoAttributesReader
+
+        attrib_names = CocoAttributesReader(_A.attribs_dir).attrib_names
+    from style_seqcvae_tpu.data.config_attrib_selection import attrib_selection
+
+    fsm_builder = FiniteStateMachineBuilder(
+        vocabulary, _C.DATA.CBS.WORDFORMS, _C.DATA.CBS.WORDFORMS_ATTRIBS,
+        _C.DATA.CBS.MAX_GIVEN_CONSTRAINTS,
+        _C.DATA.CBS.MAX_WORDS_PER_CONSTRAINT,
+        use_coco_attributes=bool(attrib_names),
+        attrib_selection=attrib_selection)
+    # no attribute names → a 1-row unselectable table: every image decodes
+    # unconstrained (num_constraints = 0), matching the head size below
+    table = build_attribute_wordform_table(
+        attrib_names or ["<none>"], fsm_builder.wordforms, vocabulary)
+
+    det_cfg = DetectorConfig(
+        num_classes=_A.num_classes, num_att_classes=max(len(attrib_names), 1),
+        pooling_mode=D.POOLING_MODE, anchor_scales=tuple(D.ANCHOR_SCALES),
+        anchor_ratios=tuple(D.ANCHOR_RATIOS),
+        rpn=RPNConfig(anchor_scales=tuple(D.ANCHOR_SCALES)))
+    det_params = jit_init(init_detector, det_cfg, jax.random.PRNGKey(0))
+    if _A.det_checkpoint_path:
+        from style_seqcvae_tpu.training.detector_optimizer import (
+            make_detector_optimizer)
+
+        ckpt = CheckpointManager(_A.det_checkpoint_path)
+        tx = make_detector_optimizer(det_params, lr=0.0)
+        restored = ckpt.restore(
+            _A.det_checkpoint_name,
+            {"params": det_params, "opt_state": tx.init(det_params)})
+        det_params = restored["params"]
+
+    cap_cfg = CaptionerConfig.from_config(_C, vocabulary)
+    tokens = [vocabulary.get_token_from_index(i)
+              for i in range(vocabulary.get_vocab_size())]
+    emb = (hashed_random_embeddings(tokens, cap_cfg.embedding_size,
+                                    cap_cfg.pad_index)
+           if cap_cfg.tie_embeddings else None)
+    cap_params = jit_init(init_captioner, cap_cfg,
+                          jax.random.PRNGKey(_C.RANDOM_SEED), emb)
+    if _A.checkpoint_path:
+        from style_seqcvae_tpu.training.trainer import create_train_state
+
+        ckpt = CheckpointManager(_A.checkpoint_path)
+        state, _ = create_train_state(cap_params, _C, cap_cfg,
+                                      jax.random.PRNGKey(0))
+        state = ckpt.restore(_A.checkpoint_name, state)
+        cap_params = state.params
+
+    serve = make_serve_fn(
+        det_cfg, cap_cfg, table,
+        n_z=max(_C.MODEL.N_Z_SAMPLES, 1), beam_size=_C.MODEL.BEAM_SIZE,
+        max_boxes=_C.DATA.MAX_BOXES,
+        det_thresh=0.05, det_nms_thresh=D.TEST.NMS,
+        att_thresh=_C.DATA.ATT_PRED_THRESH,
+        max_constraints=_C.DATA.CBS.MAX_GIVEN_CONSTRAINTS,
+        per_z_fsm=bool(_C.MODEL.STATE_MACHINE_PER_Z_SAMPLE),
+        rpn_pre_nms_top_n=D.TEST.RPN_PRE_NMS_TOP_N,
+        rpn_post_nms_top_n=D.TEST.RPN_POST_NMS_TOP_N,
+        rpn_nms_thresh=D.TEST.RPN_NMS_THRESH,
+        bbox_normalize_stds=D.TRAIN.BBOX_NORMALIZE_STDS,
+        bbox_normalize_means=D.TRAIN.BBOX_NORMALIZE_MEANS,
+        dtype="float32" if _A.f32 else "bfloat16")
+
+    sentiment = jnp.asarray([[float(_A.sentiment)]], np.float32)
+    predictions = []
+    for req, path in enumerate(_A.image):
+        img = load_image_bgr(path)
+        prepped, scale = prepare_image_np(
+            img, D.TEST.SCALES[0], D.TEST.MAX_SIZE)
+        h, w = prepped.shape[:2]
+        # per-request canvas: pad to multiples of 32 for conv tiling
+        ch, cw = -(-h // 32) * 32, -(-w // 32) * 32
+        canvas = np.zeros((1, ch, cw, 3), np.float32)
+        canvas[0, :h, :w] = prepped
+        info = jnp.asarray([[float(h), float(w), scale]], np.float32)
+
+        t0 = time.time()
+        best, lp, num_given, chk = serve(
+            det_params, cap_params, jnp.asarray(canvas), info, sentiment,
+            jax.random.PRNGKey(_C.RANDOM_SEED + req))
+        float(chk)   # sync (block_until_ready does not block on axon)
+        dt = time.time() - t0
+
+        best, lp = np.asarray(best), np.asarray(lp)
+        caps = [detokenize(best[z, 0], vocabulary, cap_cfg.boundary_index)
+                for z in range(best.shape[0])]
+        order = np.argsort(-lp[:, 0])
+        print(f"[{path}] {dt * 1000:.1f} ms, "
+              f"{int(num_given[0])} constraints, {len(caps)} captions; "
+              f"best: {caps[int(order[0])]!r}")
+        predictions.append({"image_id": path,
+                            "caption": caps[int(order[0])],
+                            "candidates": [caps[int(i)] for i in order]})
+
+    if _A.output:
+        with open(_A.output, "w") as f:
+            json.dump(predictions, f, indent=2)
+        print(f"wrote {len(predictions)} predictions to {_A.output}")
+
+
+if __name__ == "__main__":
+    main()

@@ -40,6 +40,13 @@ parser.add_argument("--bf16-compute", action="store_true",
 parser.add_argument("--num-data", type=int, default=1,
                     help="data-parallel mesh size; shards --ims-per-batch "
                          "over chips (-1 = all devices)")
+parser.add_argument("--steps-per-dispatch", type=int, default=1,
+                    help="K optimizer steps scan-chained inside one device "
+                         "dispatch (amortizes the per-dispatch tunnel "
+                         "latency; mathematically identical to K single "
+                         "steps — same recipe as scripts/train.py). "
+                         "Leftover same-canvas batches at epoch end run "
+                         "through the single-step program.")
 parser.add_argument("--remat", action="store_true",
                     help="rematerialize backbone bottlenecks + chunk RoI "
                          "pooling in the backward (trades ~10%% step time "
@@ -150,6 +157,41 @@ def main():
         params2 = jax.tree_util.tree_map(lambda a, b: a + b, params, updates)
         return params2, opt_state2, losses
 
+    K = max(_A.steps_per_dispatch, 1)
+
+    @jax.jit
+    def chained_train_step(params, opt_state, stacked, ks):
+        """K optimizer steps scanned inside ONE dispatch over a (K, B, …)
+        batch stack — same math as K train_step calls (the captioner's
+        make_chained_train_step recipe, training/trainer.py). ``ks`` is the
+        (K,)-stacked per-step PRNG keys drawn from the SAME host stream the
+        single-step loop uses, so K=1 and K>1 produce bit-identical
+        checkpoints (test_cli_smoke.py)."""
+        att_counts = stacked["att_counts"]
+        per_step = {k2: v for k2, v in stacked.items() if k2 != "att_counts"}
+
+        def body(carry, xs):
+            p, o = carry
+            b, k = xs
+            b = dict(b, att_counts=att_counts)
+
+            def loss_fn(pp):
+                bb = ({**b, "images": b["images"].astype(jnp.bfloat16)}
+                      if _A.bf16_compute else b)
+                losses = detector_forward_train(_compute_cast(pp), det_cfg,
+                                                bb, k)
+                return losses["total"], losses
+
+            (_, losses), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(p)
+            updates, o2 = tx.update(grads, o, p)
+            p2 = jax.tree_util.tree_map(lambda a, u: a + u, p, updates)
+            return (p2, o2), losses
+
+        (params2, opt_state2), losses = jax.lax.scan(
+            body, (params, opt_state), (per_step, ks))
+        return params2, opt_state2, losses
+
     ckpt = CheckpointManager(_A.serialization_dir)
     writer = MetricsWriter(_A.serialization_dir)
     key = jax.random.PRNGKey(_A.seed + 1)
@@ -172,27 +214,55 @@ def main():
             opt_state, jax.sharding.NamedSharding(
                 mesh, jax.sharding.PartitionSpec()))
 
-    def run_step(epoch, canvas, items):
-        """One SGD step over up to ``ims`` same-canvas images (partial
-        buckets at epoch end pad by repeating the last image to keep a
-        single compiled shape)."""
-        nonlocal params, opt_state, key, step_count
+    def _make_one(items, canvas):
         while len(items) < ims:
             items.append(items[-1])
         batch = make_batch([it[0] for it in items], [it[1] for it in items],
                            [it[2] for it in items], canvas,
                            D.MAX_NUM_GT_BOXES, max(dataset.n_attribs, 1))
+        return batch
+
+    def _display(epoch, losses, take_last):
+        if step_count % D.TRAIN.DISPLAY == 0:
+            vals = {n: device_sync(v[-1] if take_last else v)
+                    for n, v in losses.items()}
+            writer.scalars(step_count, vals)
+            print(f"e{epoch} s{step_count}: " +
+                  " ".join(f"{n}={v:.4f}" for n, v in vals.items()))
+
+    def run_step(epoch, canvas, items):
+        """One SGD step over up to ``ims`` same-canvas images (partial
+        buckets at epoch end pad by repeating the last image to keep a
+        single compiled shape)."""
+        nonlocal params, opt_state, key, step_count
+        batch = _make_one(items, canvas)
         batch["att_counts"] = att_counts
         if mesh is not None:
             batch = shard_detector_batch(mesh, batch)
         key, k = jax.random.split(key)
         params, opt_state, losses = train_step(params, opt_state, batch, k)
         step_count += 1
-        if step_count % D.TRAIN.DISPLAY == 0:
-            vals = {n: device_sync(v) for n, v in losses.items()}
-            writer.scalars(step_count, vals)
-            print(f"e{epoch} s{step_count}: " +
-                  " ".join(f"{n}={v:.4f}" for n, v in vals.items()))
+        _display(epoch, losses, take_last=False)
+
+    def run_chained(epoch, canvas, items):
+        """K optimizer steps over ``K·ims`` same-canvas images in ONE
+        dispatch (--steps-per-dispatch)."""
+        nonlocal params, opt_state, key, step_count
+        groups = [_make_one(items[i * ims:(i + 1) * ims], canvas)
+                  for i in range(K)]
+        stacked = {f: np.stack([g[f] for g in groups]) for f in groups[0]}
+        stacked["att_counts"] = att_counts
+        if mesh is not None:
+            stacked = shard_detector_batch(mesh, stacked,
+                                           leading_scan_axis=True)
+        ks = []
+        for _ in range(K):
+            key, k = jax.random.split(key)
+            ks.append(k)
+        params, opt_state, losses = chained_train_step(
+            params, opt_state, stacked, jnp.stack(ks))
+        step_count += K
+        _display(epoch, losses, take_last=True)
 
     for epoch in range(1, _A.epochs + 1):
         random.shuffle(order)
@@ -207,10 +277,16 @@ def main():
             img, scale = prepare_image_np(img, D.TRAIN.SCALES[0], D.TRAIN.MAX_SIZE)
             canvas = canvas_for(rec, tuple(_A.canvas))
             buckets.setdefault(canvas, []).append((rec, img, scale))
-            if len(buckets[canvas]) == ims:
-                run_step(epoch, canvas, buckets.pop(canvas))
+            if len(buckets[canvas]) == ims * K:
+                if K > 1:
+                    run_chained(epoch, canvas, buckets.pop(canvas))
+                else:
+                    run_step(epoch, canvas, buckets.pop(canvas))
+        # leftovers: full ims-sized groups run as single steps (exact math;
+        # no padded optimizer steps), the final partial group pads images
         for canvas, items in sorted(buckets.items()):
-            run_step(epoch, canvas, items)
+            for i in range(0, len(items), ims):
+                run_step(epoch, canvas, items[i:i + ims])
         ckpt.save({"params": params, "opt_state": opt_state}, f"detector_epoch_{epoch}")
     print("done.")
 

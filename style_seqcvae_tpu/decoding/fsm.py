@@ -84,6 +84,12 @@ class FiniteStateMachineBuilder:
         self._wordforms[class_name] = list(forms)
 
     @property
+    def wordforms(self) -> Dict[str, List[str]]:
+        """class/attribute cleaned name → wordform list (whitelist-pruned);
+        the input for device_fsm.build_attribute_wordform_table."""
+        return self._wordforms
+
+    @property
     def num_total_states(self) -> int:
         return self._num_total_states
 

@@ -71,18 +71,26 @@ def shard_batch(mesh: Mesh, batch, leading_scan_axis: bool = False):
 _DETECTOR_REPLICATED = ("att_counts",)
 
 
-def shard_detector_batch(mesh: Mesh, batch):
+def shard_detector_batch(mesh: Mesh, batch, leading_scan_axis: bool = False):
     """Detector batches mix batch-leading arrays (images, gt_boxes, …) with
     global ones (att_counts, the per-class attribute frequencies) — shard
-    the former over ``data``, replicate the latter."""
+    the former over ``data``, replicate the latter.
+
+    ``leading_scan_axis``: the per-step fields carry a (K, batch, …)
+    steps-per-dispatch stack — shard axis 1 (the batch), replicate the
+    scan axis."""
     out = {}
     for k, v in batch.items():
         if v is None:
             out[k] = None
             continue
         v = jnp.asarray(v)
-        spec = (P() if k in _DETECTOR_REPLICATED or v.ndim == 0
-                else P(DATA_AXIS))
+        if k in _DETECTOR_REPLICATED or v.ndim == 0:
+            spec = P()
+        elif leading_scan_axis:
+            spec = P(None, DATA_AXIS) if v.ndim >= 2 else P()
+        else:
+            spec = P(DATA_AXIS)
         out[k] = jax.device_put(v, NamedSharding(mesh, spec))
     return out
 

@@ -60,12 +60,12 @@ OPTIM:
     return d
 
 
-def _run(args, xla_flags=None):
+def _run(args, xla_flags=None, timeout=600):
     env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
     if xla_flags:
         env["XLA_FLAGS"] = xla_flags
     proc = subprocess.run([sys.executable] + args, cwd=REPO, env=env,
-                          capture_output=True, text=True, timeout=600)
+                          capture_output=True, text=True, timeout=timeout)
     assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
     return proc.stdout
 
@@ -165,6 +165,61 @@ def test_detector_cli_smoke(tmp_path):
     assert "done." in out
     rows = [json.loads(l) for l in open(d / "ckpt" / "metrics.jsonl")]
     assert rows and all(np.isfinite(r["total"]) for r in rows)
+
+
+def test_detector_cli_steps_per_dispatch_equivalence(tmp_path):
+    """train_detector.py --steps-per-dispatch K: checkpoint bit-identity
+    with the single-step loop (same shuffle order, same host PRNG-key
+    stream; single orientation so bucket pops align)."""
+    from PIL import Image
+
+    d = tmp_path
+    rng = np.random.RandomState(5)
+    images, anns = [], []
+    aid = 1
+    for iid in range(1, 5):    # 4 landscape images → 2 steps at ims=2
+        h, w = 96, 128
+        Image.fromarray((rng.rand(h, w, 3) * 255).astype(np.uint8)).save(
+            d / f"i{iid}.jpg")
+        images.append({"id": iid, "file_name": f"i{iid}.jpg",
+                       "height": h, "width": w})
+        for _ in range(2):
+            x, y = rng.randint(0, w - 48), rng.randint(0, h - 48)
+            anns.append({"id": aid, "image_id": iid, "category_id": 1,
+                         "bbox": [int(x), int(y), 40, 40], "area": 1600,
+                         "iscrowd": 0})
+            aid += 1
+    (d / "inst.json").write_text(json.dumps(
+        {"images": images, "annotations": anns,
+         "categories": [{"id": 1, "name": "thing"}]}))
+
+    for tag, extra in (("k1", []), ("k2", ["--steps-per-dispatch", "2"])):
+        _run(["scripts/train_detector.py", "--cpu",
+              "--instances-json", str(d / "inst.json"),
+              "--image-root", str(d),
+              "--serialization-dir", str(d / f"ckpt_{tag}"),
+              "--epochs", "1", "--ims-per-batch", "2",
+              "--canvas", "96", "128", "--seed", "11"] + extra +
+             ["--config-override",
+              "DET.TRAIN.SCALES", "[96]", "DET.TRAIN.MAX_SIZE", "128",
+              "DET.TRAIN.RPN_PRE_NMS_TOP_N", "300",
+              "DET.TRAIN.RPN_POST_NMS_TOP_N", "40",
+              "DET.TRAIN.BATCH_SIZE", "16",
+              "DET.MAX_NUM_GT_BOXES", "4",
+              "DET.TRAIN.USE_FLIPPED", "False",
+              "DET.TRAIN.DISPLAY", "2"], timeout=1200)
+
+    import jax
+    import orbax.checkpoint as ocp
+
+    ck = ocp.StandardCheckpointer()
+    a = ck.restore(str(d / "ckpt_k1" / "detector_epoch_1"))
+    b = ck.restore(str(d / "ckpt_k2" / "detector_epoch_1"))
+    la, lb = (jax.tree_util.tree_leaves(t["params"]) for t in (a, b))
+    assert la and len(la) == len(lb)
+    for xa, xb in zip(la, lb):
+        np.testing.assert_allclose(np.asarray(xb), np.asarray(xa),
+                                   rtol=1e-6, atol=1e-7)
 
 
 def test_train_cli_bf16_compute(cli_fixture):

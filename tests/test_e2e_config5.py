@@ -141,6 +141,38 @@ def test_eval_detections_cli(pipeline):
     assert "mAP" in m and 0.0 <= m["mAP"] <= 1.0
 
 
+def test_serve_cli_single_dispatch(pipeline):
+    """scripts/serve.py: raw image → ONE compiled program → diverse
+    constrained captions (the serving story; style_seqcvae_tpu/serving.py)."""
+    d = pipeline
+    (d / "attribs.tsv").write_text("red\tred\nblue\tblue\n")
+    (d / "attrib_names.json").write_text(json.dumps(["red", "blue"]))
+    out = _run(["scripts/serve.py", "--cpu", "--f32",
+                "--config", str(d / "cfg.yml"),
+                "--image", str(d / "i1.jpg"), str(d / "i2.jpg"),
+                "--attrib-names-json", str(d / "attrib_names.json"),
+                "--num-classes", "5",
+                "--output", str(d / "serve_preds.json"),
+                "--config-override",
+                "DATA.CBS.WORDFORMS_ATTRIBS", str(d / "attribs.tsv"),
+                "DATA.MAX_BOXES", "8",
+                "MODEL.N_Z_SAMPLES", "2", "MODEL.BEAM_SIZE", "2",
+                "MODEL.USE_CBS", "True",
+                # CBS requires the GloVe embedding width (config _validate)
+                "MODEL.EMBEDDING_SIZE", "300",
+                "MODEL.STATE_MACHINE_PER_Z_SAMPLE", "True",
+                "DET.TEST.SCALES", "[96]", "DET.TEST.MAX_SIZE", "128",
+                "DET.TEST.RPN_PRE_NMS_TOP_N", "300",
+                "DET.TEST.RPN_POST_NMS_TOP_N", "50",
+                "DET.TEST.MAX_PER_IMAGE", "8"])
+    preds = json.load(open(d / "serve_preds.json"))
+    assert len(preds) == 2
+    for p in preds:
+        assert isinstance(p["caption"], str)
+        assert len(p["candidates"]) == 2  # one per z-sample
+    assert "constraints" in out
+
+
 def test_preprocess_cli_smoke(tmp_path):
     senticap = {"images": [
         {"filename": "COCO_val2014_000000000001.jpg", "split": "train",
