@@ -51,6 +51,13 @@ parser.add_argument("--output", default="",
 parser.add_argument("--cpu", action="store_true")
 parser.add_argument("--f32", action="store_true",
                     help="decode in float32 (default bfloat16)")
+parser.add_argument("--canvas", type=int, nargs=2, default=None,
+                    metavar=("H", "W"),
+                    help="fixed serving canvas (landscape H W; portrait "
+                         "images use the transpose) — at most two compiled "
+                         "programs regardless of image shapes. Default: "
+                         "per-request 32-multiple canvas (recompiles per "
+                         "unique shape; fine for one-off runs)")
 
 
 def main():
@@ -169,8 +176,18 @@ def main():
         prepped, scale = prepare_image_np(
             img, D.TEST.SCALES[0], D.TEST.MAX_SIZE)
         h, w = prepped.shape[:2]
-        # per-request canvas: pad to multiples of 32 for conv tiling
-        ch, cw = -(-h // 32) * 32, -(-w // 32) * 32
+        if _A.canvas:
+            # fixed aspect-bucketed canvas (extract_features' canvas_for
+            # policy): ≤2 program specializations across all requests
+            from style_seqcvae_tpu.data.detection import canvas_for
+
+            ch, cw = canvas_for({"height": h, "width": w}, tuple(_A.canvas))
+            assert h <= ch and w <= cw, (
+                f"image {path} prepped to {h}x{w} exceeds --canvas "
+                f"{ch}x{cw}; raise --canvas or lower DET.TEST.MAX_SIZE")
+        else:
+            # per-request canvas: pad to multiples of 32 for conv tiling
+            ch, cw = -(-h // 32) * 32, -(-w // 32) * 32
         canvas = np.zeros((1, ch, cw, 3), np.float32)
         canvas[0, :h, :w] = prepped
         info = jnp.asarray([[float(h), float(w), scale]], np.float32)

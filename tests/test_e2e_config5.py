@@ -149,6 +149,9 @@ def test_serve_cli_single_dispatch(pipeline):
     (d / "attrib_names.json").write_text(json.dumps(["red", "blue"]))
     out = _run(["scripts/serve.py", "--cpu", "--f32",
                 "--config", str(d / "cfg.yml"),
+                # i1 landscape + i2 portrait through one fixed --canvas:
+                # exercises both aspect-bucketed program specializations
+                "--canvas", "96", "128",
                 "--image", str(d / "i1.jpg"), str(d / "i2.jpg"),
                 "--attrib-names-json", str(d / "attrib_names.json"),
                 "--num-classes", "5",
