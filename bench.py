@@ -43,6 +43,7 @@ BASELINE.md / bench_baseline.py); anchors live in BASELINE_MEASURED.json.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
@@ -621,10 +622,17 @@ def bench_e2e(batch=16, n_z=20, beam=5, steps=3):
 
 def bench_serving_latency(n_z=20, beam=5, steps=5):
     """Single-request serving path (the deployment story): one raw image
-    through the device-resident detector→select→CBS chain, and the
+    through the fused detector→constraints→CBS program, plus the
     features-only decode for comparison. Reports per-request latency (ms),
     not throughput — batch=1, so the ~30 ms dispatch floor is part of the
-    honest number."""
+    honest number.
+
+    The legacy two-dispatch chain (separate bs=1 extract + decode programs)
+    measures ~the same latency as the fused program (83-86 ms, both
+    pipelined to one sync) but its extract program pays a wildly variable
+    remote executable-load cost over the axon tunnel (15-430 s observed for
+    the SAME persistent-cache hit; see BASELINE.md "remote load variance"),
+    so it is only measured when SSC_BENCH_SERVING_CHAIN=1 is set."""
     import jax
     import jax.numpy as jnp
 
@@ -649,46 +657,55 @@ def bench_serving_latency(n_z=20, beam=5, steps=5):
     image = jnp.asarray(rng.rand(1, canvas_h, canvas_w, 3).astype(np.float32) * 255)
     info = jnp.asarray(np.asarray([[600.0, 900.0, 1.5]], np.float32))
 
-    @jax.jit
-    def extract_one(p, im, inf):
-        out = detector_forward_test(
-            p, det_cfg, im, inf, post_nms_top_n=D.TEST.RPN_POST_NMS_TOP_N,
-            pre_nms_top_n=D.TEST.RPN_PRE_NMS_TOP_N,
-            nms_thresh=D.TEST.RPN_NMS_THRESH)
-        pred_boxes = decode_boxes_jax(
-            out["rois"][0][:, 1:5], out["bbox_pred"][0], inf[0],
-            D.TRAIN.BBOX_NORMALIZE_STDS, D.TRAIN.BBOX_NORMALIZE_MEANS,
-            inf[0][2], det_cfg.num_classes)
-        sel = select_detections_device(
-            out["cls_prob"][0], pred_boxes, out["pooled_feat"][0],
-            thresh=0.05, nms_thresh=D.TEST.NMS,
-            max_per_image=min(D.TEST.MAX_PER_IMAGE, BOXES))
-        return sel["features"][None].astype(jnp.bfloat16)   # (1, 100, F)
-
     decode_all, cap_args = build_cbs_decode(batch=1, n_z=n_z, beam=beam)
     cap_params, _, sentiment, tables, _ = cap_args
 
-    def serve(key):
-        feats = extract_one(det_params, image, info)
-        dec = decode_all(cap_params, feats, sentiment, tables, key)
-        _sync(dec[2])
-
-    def serve_feats_only(feats, key):
-        dec = decode_all(cap_params, feats, sentiment, tables, key)
-        _sync(dec[2])
-
-    t0 = time.time()
-    serve(jax.random.PRNGKey(1))
-    compile_s = time.time() - t0
-    e2e_times, feat_times = [], []
-    warm_feats = extract_one(det_params, image, info)
+    # feats-only decode latency: synthetic features of the production shape
+    # (decode latency is shape-, not value-, dependent)
+    warm_feats = jnp.asarray(
+        rng.rand(1, BOXES, F).astype(np.float32)).astype(jnp.bfloat16)
+    feat_times = []
+    dec = decode_all(cap_params, warm_feats, sentiment, tables,
+                     jax.random.PRNGKey(19))
+    _sync(dec[2])                                   # compile/load once
     for i in range(steps):
         t0 = time.time()
-        serve(jax.random.PRNGKey(2 + i))
-        e2e_times.append(time.time() - t0)
-        t0 = time.time()
-        serve_feats_only(warm_feats, jax.random.PRNGKey(20 + i))
+        dec = decode_all(cap_params, warm_feats, sentiment, tables,
+                         jax.random.PRNGKey(20 + i))
+        _sync(dec[2])
         feat_times.append(time.time() - t0)
+
+    compile_s = 0.0
+    e2e_times = []
+    if os.environ.get("SSC_BENCH_SERVING_CHAIN"):
+        @jax.jit
+        def extract_one(p, im, inf):
+            out = detector_forward_test(
+                p, det_cfg, im, inf, post_nms_top_n=D.TEST.RPN_POST_NMS_TOP_N,
+                pre_nms_top_n=D.TEST.RPN_PRE_NMS_TOP_N,
+                nms_thresh=D.TEST.RPN_NMS_THRESH)
+            pred_boxes = decode_boxes_jax(
+                out["rois"][0][:, 1:5], out["bbox_pred"][0], inf[0],
+                D.TRAIN.BBOX_NORMALIZE_STDS, D.TRAIN.BBOX_NORMALIZE_MEANS,
+                inf[0][2], det_cfg.num_classes)
+            sel = select_detections_device(
+                out["cls_prob"][0], pred_boxes, out["pooled_feat"][0],
+                thresh=0.05, nms_thresh=D.TEST.NMS,
+                max_per_image=min(D.TEST.MAX_PER_IMAGE, BOXES))
+            return sel["features"][None].astype(jnp.bfloat16)   # (1, 100, F)
+
+        def serve(key):
+            feats = extract_one(det_params, image, info)
+            dec = decode_all(cap_params, feats, sentiment, tables, key)
+            _sync(dec[2])
+
+        t0 = time.time()
+        serve(jax.random.PRNGKey(1))
+        compile_s = time.time() - t0
+        for i in range(steps):
+            t0 = time.time()
+            serve(jax.random.PRNGKey(2 + i))
+            e2e_times.append(time.time() - t0)
 
     # Fused single-program path (round 3, style_seqcvae_tpu/serving.py):
     # detector → on-device constraint selection (device_fsm.py) → FSM
@@ -725,18 +742,20 @@ def bench_serving_latency(n_z=20, beam=5, steps=5):
                           jax.random.PRNGKey(40 + i))[3])
         fused_times.append(time.time() - t0)
 
-    return dict(metric="serving_latency_ms_one_image_20_captions",
-                value=round(1000 * min(fused_times), 1), unit="ms",
-                config="serving", items=1,
-                flops=decode_flops(1, n_z, 8, beam, SEQ, BOXES),
-                bytes=decode_weight_stream(SEQ),
-                seconds=min(fused_times),
-                compile_s=compile_s + fused_compile_s,
-                chain_compile_s=round(compile_s, 1),
-                fused_compile_s=round(fused_compile_s, 1),
-                n_dispatches=1,
-                two_dispatch_latency_ms=round(1000 * min(e2e_times), 1),
-                feats_only_latency_ms=round(1000 * min(feat_times), 1))
+    out = dict(metric="serving_latency_ms_one_image_20_captions",
+               value=round(1000 * min(fused_times), 1), unit="ms",
+               config="serving", items=1,
+               flops=decode_flops(1, n_z, 8, beam, SEQ, BOXES),
+               bytes=decode_weight_stream(SEQ),
+               seconds=min(fused_times),
+               compile_s=compile_s + fused_compile_s,
+               fused_compile_s=round(fused_compile_s, 1),
+               n_dispatches=1,
+               feats_only_latency_ms=round(1000 * min(feat_times), 1))
+    if e2e_times:
+        out["two_dispatch_latency_ms"] = round(1000 * min(e2e_times), 1)
+        out["chain_compile_s"] = round(compile_s, 1)
+    return out
 
 
 # --------------------------------------------------------------------------
