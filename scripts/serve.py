@@ -154,6 +154,39 @@ def main():
         state = ckpt.restore(_A.checkpoint_name, state)
         cap_params = state.params
 
+    if not _A.f32:
+        # match inference.py --bf16: the decode is weight-bound, so bf16
+        # params (not just bf16 activations) carry the ~1.4x win
+        cap_params = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+            cap_params)
+
+    att_embed_table = None
+    if cap_cfg.sentiment_vae == 2:
+        from style_seqcvae_tpu.data.latents import LatentDictionary
+
+        if cap_cfg.latent_embedding == "glove" and _C.DATA.SENTIGLOVE:
+            latent_dict = LatentDictionary.from_sentiglove(
+                _C.DATA.SENTIGLOVE, cap_cfg.z_space,
+                cap_cfg.latent_embedding_multip)
+        elif (cap_cfg.latent_embedding == "senti_word_net"
+              and _C.DATA.SWN_SCORES):
+            latent_dict = LatentDictionary.from_swn_scores(
+                _C.DATA.SWN_SCORES, cap_cfg.z_space,
+                cap_cfg.latent_embedding_multip)
+        else:
+            raise SystemExit(
+                "MODEL.SENTIMENT_VAE=2 needs DATA.SENTIGLOVE or "
+                "DATA.SWN_SCORES (the mode-2 latent dictionary); refusing "
+                "to serve with a silent zero-mean prior")
+        if not attrib_names:
+            raise SystemExit(
+                "MODEL.SENTIMENT_VAE=2 needs --attribs-dir or "
+                "--attrib-names-json: the attention prior is built from the "
+                "attribute head's per-class latent vectors")
+        att_embed_table = latent_dict.embed_table(attrib_names)
+
     serve = make_serve_fn(
         det_cfg, cap_cfg, table,
         n_z=max(_C.MODEL.N_Z_SAMPLES, 1), beam_size=_C.MODEL.BEAM_SIZE,
@@ -167,6 +200,7 @@ def main():
         rpn_nms_thresh=D.TEST.RPN_NMS_THRESH,
         bbox_normalize_stds=D.TRAIN.BBOX_NORMALIZE_STDS,
         bbox_normalize_means=D.TRAIN.BBOX_NORMALIZE_MEANS,
+        att_embed_table=att_embed_table,
         dtype="float32" if _A.f32 else "bfloat16")
 
     sentiment = jnp.asarray([[float(_A.sentiment)]], np.float32)

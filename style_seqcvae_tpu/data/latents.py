@@ -13,9 +13,23 @@ from __future__ import annotations
 
 import json
 import pickle
-from typing import Dict, List, Optional
+from typing import Dict, List, NamedTuple, Optional
 
 import numpy as np
+
+
+class AttributeEmbedTable(NamedTuple):
+    """Per-attribute-class latent vectors for device-side mode-2 priors.
+
+    ``table`` (A, z_space) f32 — latent-dictionary vector of attribute-head
+    class ``a`` (first word of its raw name, matching
+    ``LatentDictionary.translate_obj_atts`` / reference
+    updown_captioner.py:509-532), already scaled by the dictionary
+    multiplier; zero row when the word is missing. ``has`` (A,) bool — which
+    rows had a dictionary entry (missing attributes are excluded from the
+    per-box mean, mirroring the host path's silent KeyError skip)."""
+    table: np.ndarray
+    has: np.ndarray
 
 
 class LatentDictionary:
@@ -67,6 +81,24 @@ class LatentDictionary:
                 if vecs:
                     out[i, o] = np.mean(vecs, axis=0)
         return out * self.multiplier
+
+    def embed_table(self, att_id2name: List[str]) -> AttributeEmbedTable:
+        """Precompute the (A, z_space) per-attribute-class vector table for
+        the serving path's on-device mode-2 prior.
+
+        Same lookup as :meth:`translate_obj_atts` (FIRST word of the raw
+        attribute name, updown_captioner.py:509-532); the multiplier is
+        folded into the rows so the device-side mean over found attributes
+        equals ``translate_obj_atts``'s scaled output."""
+        A = len(att_id2name)
+        table = np.zeros((A, self.z_space), np.float32)
+        has = np.zeros((A,), bool)
+        for a, name in enumerate(att_id2name):
+            vec = self.mean_choice.get(name.split(" ")[0])
+            if vec is not None:
+                table[a] = np.asarray(vec, np.float32) * self.multiplier
+                has[a] = True
+        return AttributeEmbedTable(table, has)
 
     def batch_calc_attrib_mean(self, batch_image_attribs: List[Optional[list]]
                                ) -> np.ndarray:

@@ -25,11 +25,33 @@ from __future__ import annotations
 import functools
 from typing import Optional
 
+from style_seqcvae_tpu.data.latents import AttributeEmbedTable
 from style_seqcvae_tpu.decoding.device_fsm import (
     AttributeWordformTable,
     build_tables_device,
     select_attribute_constraints,
 )
+
+
+def attribute_embeds_device(att_scores, valid, embed_table: AttributeEmbedTable,
+                            att_thresh: float):
+    """Device-side mirror of ``LatentDictionary.translate_obj_atts``
+    (updown_captioner.py:509-532) for the mode-2 attention prior.
+
+    att_scores (..., M, A) per-box attribute sigmoid scores; valid (..., M)
+    box mask. A box's embedding is the mean of the table rows of its
+    detected attributes (score > ``att_thresh``, matching the
+    ``pack_obj_atts_det`` threshold the h5/inference path applies), skipping
+    attributes with no dictionary entry; zero when none. Returns
+    (..., M, z_space) float32."""
+    import jax.numpy as jnp
+
+    table = jnp.asarray(embed_table.table, jnp.float32)
+    has = jnp.asarray(embed_table.has)
+    m = (att_scores > att_thresh) & has & valid[..., None]     # (..., M, A)
+    cnt = jnp.sum(m, axis=-1, keepdims=True)                   # (..., M, 1)
+    total = jnp.matmul(m.astype(jnp.float32), table)           # (..., M, z)
+    return total / jnp.maximum(cnt, 1).astype(jnp.float32)
 
 
 def make_serve_fn(det_cfg, cap_cfg, wordform_table: AttributeWordformTable,
@@ -47,6 +69,7 @@ def make_serve_fn(det_cfg, cap_cfg, wordform_table: AttributeWordformTable,
                   rpn_nms_thresh: float = 0.7,
                   bbox_normalize_stds=(0.1, 0.1, 0.2, 0.2),
                   bbox_normalize_means=(0.0, 0.0, 0.0, 0.0),
+                  att_embed_table: Optional[AttributeEmbedTable] = None,
                   dtype="bfloat16"):
     """Build the single-program serving function.
 
@@ -73,6 +96,12 @@ def make_serve_fn(det_cfg, cap_cfg, wordform_table: AttributeWordformTable,
     jdtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
     seq = cap_cfg.max_caption_length
     feat_dim = cap_cfg.image_feature_size
+    if cap_cfg.sentiment_vae == 2 and att_embed_table is None:
+        raise ValueError(
+            "cap_cfg.sentiment_vae == 2 (latent-dictionary attribute prior) "
+            "needs att_embed_table (LatentDictionary.embed_table of the "
+            "attribute-head names) — without it the decode would silently "
+            "run with a zero-mean prior and diverge from scripts/inference.py")
 
     @jax.jit
     def serve(det_params, cap_params, images, im_info, sentiment, key):
@@ -107,6 +136,17 @@ def make_serve_fn(det_cfg, cap_cfg, wordform_table: AttributeWordformTable,
                 axis=1)
         feats = feats.astype(jdtype)
 
+        obj_att_embeds = None
+        if cap_cfg.sentiment_vae == 2:
+            obj_att_embeds = attribute_embeds_device(
+                sel["att_scores"], sel["valid"], att_embed_table, att_thresh)
+            epad = max_boxes - obj_att_embeds.shape[1]
+            if epad > 0:
+                obj_att_embeds = jnp.concatenate(
+                    [obj_att_embeds,
+                     jnp.zeros((batch, epad, obj_att_embeds.shape[2]),
+                               obj_att_embeds.dtype)], axis=1)
+
         key, sel_key, dec_key = jax.random.split(key, 3)
         n_fsm = n_z if per_z_fsm else 1
         sel_keys = jax.random.split(sel_key, n_fsm * batch).reshape(
@@ -126,7 +166,8 @@ def make_serve_fn(det_cfg, cap_cfg, wordform_table: AttributeWordformTable,
                 lambda x: jnp.broadcast_to(x, (n_z,) + x.shape[1:]), tables)
 
         ctx = make_decode_context(cap_params, cap_cfg, feats,
-                                  sentiment=sentiment)
+                                  sentiment=sentiment,
+                                  obj_att_embeds=obj_att_embeds)
         step = make_optimized_step_fn(cap_params, cap_cfg, ctx,
                                       return_raw=True)
         init_state = init_cell_state((batch,), cap_cfg.hidden_size, jdtype)

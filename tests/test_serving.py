@@ -113,3 +113,88 @@ def test_serve_is_one_dispatch(setup):
     # one module containing both a conv (detector backbone) and a while
     # (decode scan)
     assert "convolution" in text and "while" in text
+
+
+def test_attribute_embeds_device_matches_host_translate():
+    """attribute_embeds_device == LatentDictionary.translate_obj_atts on the
+    equivalent name-form input (updown_captioner.py:509-532 semantics:
+    mean over found attribute vectors, missing skipped, zero when none)."""
+    from style_seqcvae_tpu.data.latents import LatentDictionary
+    from style_seqcvae_tpu.serving import attribute_embeds_device
+
+    rng = np.random.RandomState(7)
+    z = 6
+    names = ["wooden brown", "red", "blue", "furry", "missing"]
+    mean_choice = {n.split(" ")[0]: rng.randn(z).astype(np.float32)
+                   for n in names[:4]}          # "missing" has no entry
+    ld = LatentDictionary(mean_choice, z, multiplier=1.5)
+    table = ld.embed_table(names)
+    assert table.table.shape == (5, z)
+    assert list(table.has) == [True, True, True, True, False]
+
+    M, A = 4, len(names)
+    att_scores = rng.rand(M, A).astype(np.float32)
+    valid = np.array([True, True, True, False])
+    thresh = 0.5
+
+    out = np.asarray(attribute_embeds_device(
+        jnp.asarray(att_scores), jnp.asarray(valid), table, thresh))
+
+    # host mirror: name-form obj_atts of the thresholded detections
+    obj_atts = [[["obj", [names[a] for a in range(A)
+                          if att_scores[m, a] > thresh]]
+                 for m in range(M) if valid[m]]]
+    ref = ld.translate_obj_atts(obj_atts, M)[0]
+    np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-6)
+
+
+def test_serve_mode2_attribute_prior(setup):
+    """SENTIMENT_VAE=2 serving wires the latent-dictionary attention prior
+    on device; without the table make_serve_fn refuses loudly."""
+    from style_seqcvae_tpu.data.latents import LatentDictionary
+
+    vocab, table, det_cfg, det_params, _, _ = setup
+    cap_cfg = CaptionerConfig(
+        vocab_size=vocab.get_vocab_size(), image_feature_size=2048,
+        embedding_size=8, hidden_size=6, attention_projection_size=4,
+        z_space=4, sentiment_vae=2, simple_vae=False, max_caption_length=6,
+        beam_size=2, use_cbs=True)
+    cap_params = init_captioner(jax.random.PRNGKey(1), cap_cfg)
+
+    with pytest.raises(ValueError, match="att_embed_table"):
+        make_serve_fn(det_cfg, cap_cfg, table, n_z=2, beam_size=2,
+                      max_boxes=8, rpn_pre_nms_top_n=64,
+                      rpn_post_nms_top_n=16, dtype="float32")
+
+    rng = np.random.RandomState(3)
+    ld = LatentDictionary(
+        {n.split(" ")[0]: rng.randn(4).astype(np.float32)
+         for n in ATT_NAMES}, 4)
+    embeds = ld.embed_table(ATT_NAMES)
+    serve = make_serve_fn(det_cfg, cap_cfg, table, n_z=2, beam_size=2,
+                          max_boxes=8, rpn_pre_nms_top_n=64,
+                          rpn_post_nms_top_n=16,
+                          att_embed_table=embeds, dtype="float32")
+    images = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32) * 255)
+    info = jnp.asarray(np.asarray([[64, 64, 1.0]], np.float32))
+    sent = jnp.ones((1, 1), np.float32)
+    best, lp, _, _ = serve(det_params, cap_params, images, info, sent,
+                           jax.random.PRNGKey(5))
+    assert best.shape == (2, 1, cap_cfg.max_caption_length)
+    assert np.all(np.isfinite(np.asarray(lp)))
+
+    # a different dictionary must move the decode (the prior is live).
+    # The shift must be enormous: the random-init detector's pooled
+    # features have ~1e2-magnitude elements, deeply saturating the decoder
+    # LSTM gates, so a moderate prior shift is invisible in the outputs.
+    ld2 = LatentDictionary(
+        {n.split(" ")[0]: 1e4 * np.ones(4, np.float32)
+         for n in ATT_NAMES}, 4)
+    serve2 = make_serve_fn(det_cfg, cap_cfg, table, n_z=2, beam_size=2,
+                           max_boxes=8, rpn_pre_nms_top_n=64,
+                           rpn_post_nms_top_n=16,
+                           att_embed_table=ld2.embed_table(ATT_NAMES),
+                           dtype="float32")
+    _, lp2, _, _ = serve2(det_params, cap_params, images, info, sent,
+                          jax.random.PRNGKey(5))
+    assert not np.allclose(np.asarray(lp), np.asarray(lp2))
