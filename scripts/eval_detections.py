@@ -26,6 +26,9 @@ parser.add_argument("--vis-thresh", type=float, default=0.5)
 
 def main():
     args = parser.parse_args()
+    if args.vis_dir and not args.image_root:
+        parser.error("--vis-dir needs --image-root (without it every image "
+                     "path check fails and zero PNGs are written)")
     from style_seqcvae_tpu.evaluation.detection_eval import evaluate_detections
 
     dets = json.load(open(args.detections))
@@ -53,9 +56,11 @@ def main():
         by_image = {}
         for d in dets:
             by_image.setdefault(d["image_id"], []).append(d)
+        n_written = n_missing = 0
         for image_id, img_dets in by_image.items():
             path = os.path.join(args.image_root, files.get(image_id, ""))
             if not os.path.isfile(path):
+                n_missing += 1
                 continue
             img = np.asarray(Image.open(path).convert("RGB"))
             boxes = np.asarray([[d["bbox"][0], d["bbox"][1],
@@ -74,6 +79,10 @@ def main():
                                          d5, thresh=args.vis_thresh)
             Image.fromarray(out_img).save(
                 os.path.join(args.vis_dir, f"{image_id}.png"))
+            n_written += 1
+        print(f"wrote {n_written} visualization(s) to {args.vis_dir}"
+              + (f" ({n_missing} image file(s) not found under "
+                 f"{args.image_root})" if n_missing else ""))
 
 
 if __name__ == "__main__":

@@ -201,26 +201,3 @@ def extraction_row(selected: Dict[str, np.ndarray], att_pred_thresh: float = 0.3
     return feats, obj_atts, obj_atts_det
 
 
-def vis_detections(im: np.ndarray, class_name: str, dets: np.ndarray,
-                   thresh: float = 0.8) -> np.ndarray:
-    """Visual detection debugging (net_utils.py:50-60): draw up to 10 boxes
-    of one class with score > ``thresh`` onto ``im`` (H, W, 3 uint8/float,
-    modified in place and returned). PIL replaces cv2 (not in this image):
-    green 2-px rectangles + '<class>: <score>' label."""
-    from PIL import Image, ImageDraw
-
-    arr = np.ascontiguousarray(im)
-    pil = Image.fromarray(arr.astype(np.uint8))
-    draw = ImageDraw.Draw(pil)
-    for i in range(min(10, dets.shape[0])):
-        x1, y1, x2, y2 = (int(round(float(v))) for v in dets[i, :4])
-        score = float(dets[i, -1])
-        if score > thresh:
-            draw.rectangle([x1, y1, x2, y2], outline=(0, 204, 0), width=2)
-            draw.text((x1, y1 + 4), f"{class_name}: {score:.3f}",
-                      fill=(255, 0, 0))
-    out = np.asarray(pil)
-    if im.shape == out.shape:
-        im[...] = out.astype(im.dtype)
-        return im
-    return out

@@ -13,6 +13,7 @@ debugging sessions; never on the device path.
 
 from __future__ import annotations
 
+import zlib
 from typing import Optional, Sequence
 
 import numpy as np
@@ -25,12 +26,13 @@ _COLORS = [
 
 
 def vis_detections(image: np.ndarray, class_name: str, dets: np.ndarray,
-                   thresh: float = 0.8,
+                   thresh: float = 0.8, max_boxes: int = 10,
                    color: Optional[tuple] = None) -> np.ndarray:
     """Draw one class's detections on ``image``.
 
     image (H, W, 3) uint8 (RGB); dets (N, 5) [x1, y1, x2, y2, score].
-    Boxes with score < ``thresh`` are skipped (net_utils.py:53). Returns a
+    Only boxes with score > ``thresh`` are drawn, at most ``max_boxes`` per
+    call (net_utils.py:52-53: ``minimum(10, dets.shape[0])``). Returns a
     NEW annotated (H, W, 3) uint8 array; the input is not modified.
     """
     from PIL import Image, ImageDraw
@@ -38,10 +40,11 @@ def vis_detections(image: np.ndarray, class_name: str, dets: np.ndarray,
     img = Image.fromarray(np.ascontiguousarray(image.astype(np.uint8)))
     draw = ImageDraw.Draw(img)
     dets = np.asarray(dets)
-    c = color or _COLORS[hash(class_name) % len(_COLORS)]
-    for i in range(dets.shape[0]):
+    # stable per-class color: builtin hash() is salted per process
+    c = color or _COLORS[zlib.crc32(class_name.encode()) % len(_COLORS)]
+    for i in range(min(max_boxes, dets.shape[0])):
         score = float(dets[i, 4]) if dets.shape[1] > 4 else 1.0
-        if score < thresh:
+        if not score > thresh:
             continue
         x1, y1, x2, y2 = (float(v) for v in dets[i, :4])
         draw.rectangle([x1, y1, x2, y2], outline=c, width=2)

@@ -15,6 +15,7 @@ Random boxes/scores, multiple images and categories; AP / AP50 / AP75 and
 the per-class APs must agree to 1e-6 (VERDICT r2 item 5)."""
 
 import importlib.util
+import os
 import sys
 import types
 
@@ -22,6 +23,10 @@ import numpy as np
 import pytest
 
 COCOEVAL_PATH = "/root/reference/frcnn/lib/pycocotools/cocoeval.py"
+
+if not os.path.exists(COCOEVAL_PATH):
+    pytest.skip("reference mount (/root/reference) not available — the "
+                "golden oracle lives there", allow_module_level=True)
 
 
 def _bbox_iou_xywh(d, g, iscrowd):

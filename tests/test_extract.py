@@ -158,20 +158,33 @@ def test_select_detections_device_empty_fallback():
                                   np.ones(F))
 
 
-def test_vis_detections_draws_boxes():
-    """net_utils.py:50-60 analogue: boxes above threshold are drawn (green
-    outline pixels appear), below-threshold and >10th boxes are not."""
-    from style_seqcvae_tpu.models.detector.extract import vis_detections
+def test_vis_detections_caps_boxes_and_threshold():
+    """net_utils.py:50-60 parity: at most 10 boxes per call, strict
+    score > thresh, per-class color stable across processes (crc32)."""
+    import zlib
 
-    im = np.zeros((60, 80, 3), np.uint8)
-    dets = np.asarray([[5, 5, 30, 30, 0.95],
-                       [40, 10, 70, 40, 0.2]], np.float32)
+    from style_seqcvae_tpu.utils.visualize import _COLORS, vis_detections
+
+    im = np.zeros((60, 200, 3), np.uint8)
+    # 12 high-score boxes: only the first 10 are drawn (reference caps
+    # at minimum(10, N)); plus one below and one exactly AT the threshold
+    dets = np.asarray([[5 + 15 * i, 5, 15 + 15 * i, 30, 0.95]
+                       for i in range(12)], np.float32)
+    dets[10, 4] = 0.2     # 11th row below threshold anyway
     out = vis_detections(im, "dog", dets, thresh=0.8)
-    assert out is im
-    green = (im == np.array([0, 204, 0])).all(axis=-1)
-    assert green.any()
-    # the low-score box region's outline stays untouched
-    assert not green[10:40, 40:71][:, -1].any()
+    assert im.sum() == 0  # input untouched (copy-returning)
+    color = np.array(_COLORS[zlib.crc32(b"dog") % len(_COLORS)])
+    drawn = (out == color).all(axis=-1)
+    assert drawn[5:31, 5].any()                      # box 0 outline
+    # 12th box capped out (rows below neighbours' label strips, y > 13)
+    assert not drawn[14:31, 5 + 15 * 11].any()
+
+    # exactly-at-threshold is skipped (reference draws score > thresh);
+    # 0.75 is exactly representable in float32, unlike 0.8
+    out2 = vis_detections(np.zeros((40, 40, 3), np.uint8), "dog",
+                          np.asarray([[5, 5, 30, 30, 0.75]], np.float32),
+                          thresh=0.75)
+    assert out2.sum() == 0
 
 
 def test_device_e2e_extract_to_decode_chain():
