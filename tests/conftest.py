@@ -16,6 +16,19 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 
+# Persistent compile cache for the suite: the heavy tests are XLA-CPU
+# compile-dominated (detector fwd+grad ≈ 18 s cold, 3 s warm), so repeat
+# keep-green runs skip most compilation. Separate dir from the TPU
+# `.jax_cache` (different backend, gitignored). Disable with
+# SSC_TEST_CACHE=off; the AOT loader's "prefer-no-scatter not supported"
+# stderr on cache loads is a known cosmetic pseudo-feature mismatch.
+_cache = os.environ.get("SSC_TEST_CACHE", "")
+if _cache != "off":
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        _cache or os.path.join(os.path.dirname(__file__), "..", ".jax_cache_cpu"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+
 
 def pytest_configure(config):
     config.addinivalue_line(
