@@ -788,7 +788,14 @@ def _finalize(rec, baselines):
             dev_secs = max(secs - n_disp * floor, 1e-9)
             rec["dispatch_floor_ms"] = round(1000.0 * floor, 1)
             rec["device_seconds"] = round(dev_secs, 4)
-            rec["device_value"] = round(items / dev_secs, 2)
+            # device_value shadows `value` in the SAME unit so cross-round
+            # value-vs-device_value diffs isolate tunnel regressions: a
+            # latency metric (unit ms) gets device-only latency, throughput
+            # metrics get items/device-second.
+            if rec.get("unit") == "ms":
+                rec["device_value"] = round(1000.0 * dev_secs, 1)
+            else:
+                rec["device_value"] = round(items / dev_secs, 2)
         except Exception:
             pass
     anchor = baselines.get(rec["metric"])
@@ -829,9 +836,19 @@ def main():
         except Exception as e:  # a secondary config must never kill the flagship line
             rec = {"metric": fn.__name__, "error": repr(e)[:300]}
         print(json.dumps(rec), flush=True)
-    rec = bench_tpu_cbs()
-    rec.pop("_decode_fn", None)
-    print(json.dumps(_finalize(rec, baselines)), flush=True)
+    # The flagship prints LAST and drivers parse the final JSON line, so a
+    # flagship failure must still leave a flagship-metric line (not let the
+    # serving-latency line masquerade as the headline) and exit non-zero.
+    try:
+        rec = bench_tpu_cbs()
+        rec.pop("_decode_fn", None)
+        print(json.dumps(_finalize(rec, baselines)), flush=True)
+    except Exception as e:
+        print(json.dumps({"metric": "cbs_beam5_captions_per_sec_per_chip",
+                          "value": None, "unit": "captions/s", "config": 3,
+                          "error": repr(e)[:300], "vs_baseline": None}),
+              flush=True)
+        raise SystemExit(1)
 
 
 if __name__ == "__main__":

@@ -49,8 +49,13 @@ def main():
         import numpy as np
         from PIL import Image
 
+        from style_seqcvae_tpu.utils.visualize import vis_image_detections
+
         os.makedirs(args.vis_dir, exist_ok=True)
         names = {c["id"]: c["name"] for c in gt["categories"]}
+        # id-indexed list for vis_image_detections (COCO ids are sparse)
+        names_list = [names.get(i, str(i))
+                      for i in range(max(names, default=0) + 1)]
         files = {im["id"]: im.get("file_name", f"{im['id']}.jpg")
                  for im in gt.get("images", [])}
         by_image = {}
@@ -69,14 +74,8 @@ def main():
                                 for d in img_dets], np.float32)
             scores = np.asarray([d["score"] for d in img_dets], np.float32)
             labels = np.asarray([d["category_id"] for d in img_dets])
-            from style_seqcvae_tpu.utils.visualize import vis_detections
-
-            out_img = img
-            for cid in np.unique(labels):
-                sel = labels == cid
-                d5 = np.concatenate([boxes[sel], scores[sel, None]], axis=1)
-                out_img = vis_detections(out_img, names.get(int(cid), str(cid)),
-                                         d5, thresh=args.vis_thresh)
+            out_img = vis_image_detections(img, boxes, scores, labels,
+                                           names_list, thresh=args.vis_thresh)
             Image.fromarray(out_img).save(
                 os.path.join(args.vis_dir, f"{image_id}.png"))
             n_written += 1

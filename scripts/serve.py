@@ -62,6 +62,10 @@ parser.add_argument("--canvas", type=int, nargs=2, default=None,
 
 def main():
     _A = parser.parse_args()
+    if _A.det_checkpoint_path and not _A.det_checkpoint_name:
+        parser.error(
+            "--det-checkpoint-path requires --det-checkpoint-name "
+            "(detector checkpoints are saved as e.g. detector_epoch_N)")
     import jax
 
     if _A.cpu:

@@ -222,8 +222,13 @@ def main():
                            D.MAX_NUM_GT_BOXES, max(dataset.n_attribs, 1))
         return batch
 
-    def _display(epoch, losses, take_last):
-        if step_count % D.TRAIN.DISPLAY == 0:
+    def _display(epoch, losses, take_last, window=1):
+        # fire when ANY step in the just-completed window crossed a DISPLAY
+        # multiple — `step_count % DISPLAY == 0` alone would degrade the
+        # cadence to lcm(K, DISPLAY) under --steps-per-dispatch K (same
+        # pattern as scripts/train.py's chained-window print check)
+        if any(s % D.TRAIN.DISPLAY == 0
+               for s in range(step_count - window + 1, step_count + 1)):
             vals = {n: device_sync(v[-1] if take_last else v)
                     for n, v in losses.items()}
             writer.scalars(step_count, vals)
@@ -262,7 +267,7 @@ def main():
         params, opt_state, losses = chained_train_step(
             params, opt_state, stacked, jnp.stack(ks))
         step_count += K
-        _display(epoch, losses, take_last=True)
+        _display(epoch, losses, take_last=True, window=K)
 
     for epoch in range(1, _A.epochs + 1):
         random.shuffle(order)

@@ -180,7 +180,7 @@ def build_tables_device(att_ids, table, max_constraints: int = 3,
     import jax.numpy as jnp
 
     k = att_ids.shape[0]
-    assert k <= max_constraints or max_constraints == k
+    assert k <= max_constraints
     S = num_states or 2 ** k
     assert S >= 2 ** k, f"num_states {S} < 2**{k} main states"
     W = table.tokens.shape[1]
