@@ -45,6 +45,37 @@ def test_finalize_pipelined_skips_device_fields(monkeypatch):
     assert "device_value" not in rec and "device_seconds" not in rec
 
 
+def test_main_flagship_failure_keeps_headline_metric(monkeypatch, capsys):
+    """Driver contract: the FINAL stdout JSON line must always carry the
+    flagship metric name — on flagship failure it is an error record with
+    value null and the process exits non-zero, never the serving line."""
+    import json
+
+    import pytest
+
+    ok = {"metric": "x", "value": 1.0, "unit": "u", "config": 0, "items": 1,
+          "flops": 1.0, "bytes": 1.0, "seconds": 1.0, "compile_s": 0.0,
+          "pipelined_host_scoring": True}
+    for name in ("bench_greedy", "bench_train_step", "bench_diverse_oracle",
+                 "bench_e2e", "bench_serving_latency"):
+        monkeypatch.setattr(bench, name, lambda: dict(ok))
+    monkeypatch.setattr(
+        bench, "bench_tpu_cbs",
+        lambda: (_ for _ in ()).throw(RuntimeError("tunnel down")))
+    monkeypatch.setattr(bench, "enable_compile_cache", lambda: "",
+                        raising=False)
+    import style_seqcvae_tpu.utils.cache as cache
+    monkeypatch.setattr(cache, "enable_compile_cache", lambda: "")
+    with pytest.raises(SystemExit) as ei:
+        bench.main()
+    assert ei.value.code == 1
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert len(lines) == 6
+    last = lines[-1]
+    assert last["metric"] == "cbs_beam5_captions_per_sec_per_chip"
+    assert last["value"] is None and "tunnel down" in last["error"]
+
+
 def test_finalize_vs_baseline_anchor():
     rec = _rec("captions/s", 200.0, 1.0)
     rec["pipelined_host_scoring"] = True  # skip device probe
