@@ -17,13 +17,18 @@ def enable_compile_cache(path: str | None = None) -> str:
     repo-level ``.jax_cache``, overridable via ``SSC_JAX_CACHE``)."""
     import jax
 
-    if jax.default_backend() == "cpu":
-        # CPU compiles are fast and the suite's subprocess smokes would
-        # litter the repo cache with tiny entries — persistent caching only
-        # pays on the accelerator path
-        return ""
     if path is None:
-        path = os.environ.get("SSC_JAX_CACHE") or os.path.abspath(
+        path = os.environ.get("SSC_JAX_CACHE", "")
+    if jax.default_backend() == "cpu":
+        # On CPU, cache only when a path was given explicitly (argument or
+        # SSC_JAX_CACHE): the test suite exports SSC_JAX_CACHE so its CLI
+        # subprocess smokes warm-start across runs (the dominant suite cost
+        # on this 1-core box), but ad-hoc CPU runs don't litter the repo
+        # accelerator cache with tiny entries.
+        if not path:
+            return ""
+    if not path:
+        path = os.path.abspath(
             os.path.join(os.path.dirname(__file__), "..", "..", ".jax_cache"))
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)

@@ -24,10 +24,13 @@ jax.config.update("jax_enable_x64", False)
 # stderr on cache loads is a known cosmetic pseudo-feature mismatch.
 _cache = os.environ.get("SSC_TEST_CACHE", "")
 if _cache != "off":
-    jax.config.update(
-        "jax_compilation_cache_dir",
+    _cache_dir = os.path.abspath(
         _cache or os.path.join(os.path.dirname(__file__), "..", ".jax_cache_cpu"))
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+    # CLI subprocess smokes (--cpu) read this via enable_compile_cache so
+    # they warm-start across suite runs too — they dominate full-suite time
+    os.environ["SSC_JAX_CACHE"] = _cache_dir
 
 
 def pytest_configure(config):
