@@ -73,7 +73,10 @@ def constrained_beam_search(
         return None, (top_lp, top_cls)
 
     _, (lp_s, cls_s) = jax.lax.scan(first_per_state, None, jnp.arange(S))
-    last_lp = jnp.transpose(lp_s, (1, 0, 2))                # (B, S, K)
+    # accumulate beam scores in f32 regardless of the step dtype (bf16 steps
+    # lose ~3 decimal digits over 20 summed steps — beam_search.py and
+    # cbs_fast.py do the same)
+    last_lp = jnp.transpose(lp_s, (1, 0, 2)).astype(jnp.float32)  # (B, S, K)
     last_preds = jnp.transpose(cls_s, (1, 0, 2))            # (B, S, K)
     start_preds_flat = last_preds.reshape(B, S * K)
 

@@ -50,6 +50,24 @@ class FSMTables(NamedTuple):
         return self.default_dest.shape[-1]
 
 
+def pack_exception_entries(default_dest: np.ndarray, entries,
+                           max_exceptions: int = 0) -> FSMTables:
+    """Pack per-state ``[(token, dest)]`` exception rows into FSMTables
+    (shared encoding contract: mask-only entries use dest=-1, E = longest
+    row or 1, zero padding with valid=False). Used by :func:`fsm_to_tables`
+    and ``fsm.FiniteStateMachineBuilder.build_tables``."""
+    S = default_dest.shape[0]
+    E = max_exceptions or max((len(r) for r in entries), default=1) or 1
+    exc_token = np.zeros((S, E), np.int32)
+    exc_dest = np.zeros((S, E), np.int32)
+    exc_valid = np.zeros((S, E), bool)
+    for s, row in enumerate(entries):
+        assert len(row) <= E, f"state {s} has {len(row)} exceptions > E={E}"
+        for j, (v, d) in enumerate(row):
+            exc_token[s, j], exc_dest[s, j], exc_valid[s, j] = v, d, True
+    return FSMTables(default_dest, exc_token, exc_dest, exc_valid)
+
+
 def fsm_to_tables(fsm_dense: np.ndarray, max_exceptions: int = 0) -> FSMTables:
     """Convert a dense (S, S, V) adjacency into exception form (host-side,
     per image/z-sample at FSM build time)."""
@@ -76,15 +94,7 @@ def fsm_to_tables(fsm_dense: np.ndarray, max_exceptions: int = 0) -> FSMTables:
                 row.append((int(v), int(dest)))
         entries.append(row)
 
-    E = max_exceptions or max((len(r) for r in entries), default=1) or 1
-    exc_token = np.zeros((S, E), np.int32)
-    exc_dest = np.zeros((S, E), np.int32)
-    exc_valid = np.zeros((S, E), bool)
-    for s, row in enumerate(entries):
-        assert len(row) <= E, f"state {s} has {len(row)} exceptions > E={E}"
-        for j, (v, d) in enumerate(row):
-            exc_token[s, j], exc_dest[s, j], exc_valid[s, j] = v, d, True
-    return FSMTables(default_dest, exc_token, exc_dest, exc_valid)
+    return pack_exception_entries(default_dest, entries, max_exceptions)
 
 
 def stack_fsm_tables(tables, pad_exceptions: int = 0) -> FSMTables:
@@ -205,8 +215,13 @@ def constrained_beam_search_fast(
         lp0 = lp0[:, 0, 0, :]                                 # (B, V)
     V = lp0.shape[-1]
 
-    exc_mask0 = jnp.zeros((B, V), bool).at[
-        jnp.arange(B)[:, None], fsm.exc_token[:, 0, :]].set(fsm.exc_valid[:, 0, :])
+    # additive scatter, NOT .set(): padding entries are (token 0, valid
+    # False) and a REAL token-0 exception (e.g. a constraint wordform that
+    # tokenized to @@UNKNOWN@@=0) lands on the same index — duplicate-index
+    # .set() is nondeterministic about which write wins, .add() ORs them.
+    exc_mask0 = jnp.zeros((B, V), jnp.int32).at[
+        jnp.arange(B)[:, None], fsm.exc_token[:, 0, :]].add(
+            fsm.exc_valid[:, 0, :].astype(jnp.int32)) > 0
     def0_lp, def0_cls = small_top_k(jnp.where(exc_mask0, -jnp.inf, lp0), K)  # (B, K)
     exc0_lp = jnp.where(fsm.exc_valid[:, 0, :],
                         jnp.take_along_axis(lp0, fsm.exc_token[:, 0, :], axis=-1),
@@ -231,10 +246,12 @@ def constrained_beam_search_fast(
         lambda t: jnp.broadcast_to(t, (B, S, K) + t.shape[3:]), state)
 
     # Static per-state exception mask over the vocab (used every step).
-    exc_vocab_mask = jnp.zeros((B, S, V), bool).at[
+    # Additive scatter for the same padding-vs-real-token-0 collision as
+    # exc_mask0 above.
+    exc_vocab_mask = jnp.zeros((B, S, V), jnp.int32).at[
         jnp.arange(B)[:, None, None],
         jnp.broadcast_to(states_iota[None, :, None], (B, S, E)),
-        fsm.exc_token].set(fsm.exc_valid)
+        fsm.exc_token].add(fsm.exc_valid.astype(jnp.int32)) > 0
 
     step_keys = (jax.random.split(rng, max_steps - 1) if noise is None
                  else noise[1:])
@@ -253,6 +270,18 @@ def constrained_beam_search_fast(
         exc_emb = (embedding[fsm.exc_token]
                    * fsm.exc_valid[..., None].astype(embedding.dtype))
 
+    def _default_from_topk(tvals, tidx, logz):
+        """Drop exception tokens from an unmasked top-(pnbs+E) and return
+        the default-candidate (log-prob, class) pair — exact, since at most
+        E exception tokens exist per state. Shared by the prehead and fused
+        branches."""
+        is_exc = jnp.any(
+            (tidx[..., :, None] == fsm.exc_token[:, :, None, None, :])
+            & fsm.exc_valid[:, :, None, None, :], axis=-1)
+        def_l, pos = small_top_k(jnp.where(is_exc, MASK_VAL, tvals), pnbs)
+        def_cls = jnp.take_along_axis(tidx, pos, axis=-1)
+        return def_l - logz[..., None], def_cls
+
     def scan_step(carry, key):
         state, last_preds, last_lp = carry
         out, new_state = step_fn(last_preds, state, key)         # (B, S, K, V)
@@ -269,21 +298,12 @@ def constrained_beam_search_fast(
             tvals = tvals.reshape(B, S, K, k_tot)
             tidx = tidx.reshape(B, S, K, k_tot)
             logz = lse.reshape(B, S, K)
-            is_exc = jnp.any(
-                (tidx[..., :, None] == fsm.exc_token[:, :, None, None, :])
-                & fsm.exc_valid[:, :, None, None, :], axis=-1)
-            def_l, pos = small_top_k(jnp.where(is_exc, MASK_VAL, tvals), pnbs)
-            def_cls = jnp.take_along_axis(tidx, pos, axis=-1)
-            def_lp = def_l - logz[..., None]
+            def_lp, def_cls = _default_from_topk(tvals, tidx, logz)
             exc_l = jnp.einsum("bske,bsxe->bskx",
                                proj.astype(exc_emb.dtype), exc_emb,
                                preferred_element_type=jnp.float32)
             exc_lp = exc_l - logz[..., None]
             exc_lp = jnp.where(fsm.exc_valid[:, :, None, :], exc_lp, MASK_VAL)
-            ended = (last_preds == end_index)[..., None]
-            def_lp = jnp.where(ended, end_pattern, def_lp)
-            def_cls = jnp.where(ended, end_index, def_cls)
-            exc_lp = jnp.where(ended, MASK_VAL, exc_lp)
         elif raw_step and fused:
             logits, _ = out          # step's logz unused here → DCE'd
             from style_seqcvae_tpu.ops.pallas.topk_lse import top_k_with_lse
@@ -294,24 +314,12 @@ def constrained_beam_search_fast(
             tvals = tvals.reshape(B, S, K, k_tot)
             tidx = tidx.reshape(B, S, K, k_tot)
             logz = lse.reshape(B, S, K)
-            # filter exceptions out of the unmasked top-(pnbs+E) — exact,
-            # since at most E exception tokens exist per state
-            is_exc = jnp.any(
-                (tidx[..., :, None] == fsm.exc_token[:, :, None, None, :])
-                & fsm.exc_valid[:, :, None, None, :], axis=-1)
-            def_l, pos = small_top_k(jnp.where(is_exc, MASK_VAL, tvals), pnbs)
-            def_cls = jnp.take_along_axis(tidx, pos, axis=-1)
-            def_lp = def_l - logz[..., None]
+            def_lp, def_cls = _default_from_topk(tvals, tidx, logz)
             exc_l = jnp.einsum("bskv,bsev->bske", logits,
                                exc_onehot.astype(logits.dtype),
                                preferred_element_type=jnp.float32)
             exc_lp = exc_l - logz[..., None]
             exc_lp = jnp.where(fsm.exc_valid[:, :, None, :], exc_lp, MASK_VAL)
-            # end freezing post-selection: ended beams emit end with lp 0
-            ended = (last_preds == end_index)[..., None]
-            def_lp = jnp.where(ended, end_pattern, def_lp)
-            def_cls = jnp.where(ended, end_index, def_cls)
-            exc_lp = jnp.where(ended, MASK_VAL, exc_lp)
         elif raw_step:
             logits, logz = out
             # ONE full-vocab top-k on RAW logits (same order as log-probs)…
@@ -323,11 +331,6 @@ def constrained_beam_search_fast(
                                preferred_element_type=jnp.float32)
             exc_lp = exc_l - logz[..., None]
             exc_lp = jnp.where(fsm.exc_valid[:, :, None, :], exc_lp, MASK_VAL)
-            # end freezing post-selection: ended beams emit end with lp 0
-            ended = (last_preds == end_index)[..., None]
-            def_lp = jnp.where(ended, end_pattern, def_lp)
-            def_cls = jnp.where(ended, end_index, def_cls)
-            exc_lp = jnp.where(ended, MASK_VAL, exc_lp)
         else:
             cleaned = _cleaned_log_probs(out, last_preds, end_index)
             # ONE full-vocab top-k (default/non-exception tokens)…
@@ -338,6 +341,15 @@ def constrained_beam_search_fast(
                 cleaned, jnp.broadcast_to(fsm.exc_token[:, :, None, :],
                                           (B, S, K, E)), axis=-1)
             exc_lp = jnp.where(fsm.exc_valid[:, :, None, :], exc_lp, MASK_VAL)
+
+        if prehead_step or raw_step:
+            # end freezing post-selection (shared by the three raw-logit
+            # branches; the log-prob branch freezes pre-selection inside
+            # _cleaned_log_probs): ended beams emit end with lp 0
+            ended = (last_preds == end_index)[..., None]
+            def_lp = jnp.where(ended, end_pattern, def_lp)
+            def_cls = jnp.where(ended, end_index, def_cls)
+            exc_lp = jnp.where(ended, MASK_VAL, exc_lp)
 
         # All remaining work runs on tiny (≤ K·(pnbs+E)) tensors — vectorize
         # over an explicit target-state axis S_to instead of a sequential

@@ -184,8 +184,6 @@ class FiniteStateMachineBuilder:
         work than dense-build + convert.
 
         Returns ``(FSMTables, used_states, constraint2states)``."""
-        from style_seqcvae_tpu.decoding.cbs_fast import FSMTables
-
         sparse = _SparseAdjacency(self._num_main_states)
         constraint2states: Dict[str, List[int]] = {}
         substate_idx = self._num_main_states
@@ -216,14 +214,9 @@ class FiniteStateMachineBuilder:
                     row.append((tok, t))
             entries.append(row)
 
-        E = max((len(r) for r in entries), default=1) or 1
-        exc_token = np.zeros((S, E), np.int32)
-        exc_dest = np.zeros((S, E), np.int32)
-        exc_valid = np.zeros((S, E), bool)
-        for s, row in enumerate(entries):
-            for j, (tok, t) in enumerate(row):
-                exc_token[s, j], exc_dest[s, j], exc_valid[s, j] = tok, t, True
-        return (FSMTables(default_dest, exc_token, exc_dest, exc_valid),
+        from style_seqcvae_tpu.decoding.cbs_fast import pack_exception_entries
+
+        return (pack_exception_entries(default_dest, entries),
                 substate_idx, constraint2states)
 
 

@@ -10,7 +10,6 @@ bucket sizes so repeated images reuse the compiled program.
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, List, Optional, Tuple
 
 import jax

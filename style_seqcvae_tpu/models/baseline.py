@@ -64,11 +64,10 @@ def init_baseline(key: jax.Array, cfg: CaptionerConfig,
         emb = emb.at[cfg.pad_index].set(0.0)
     params["embedding"] = emb
 
+    from style_seqcvae_tpu.models.init_utils import torch_linear
+
     def linear(k, fan_in, out):
-        kw, kb = jax.random.split(k)
-        bound = 1.0 / jnp.sqrt(fan_in)
-        return {"w": jax.random.uniform(kw, (fan_in, out), minval=-bound, maxval=bound, dtype=dtype),
-                "b": jax.random.uniform(kb, (out,), minval=-bound, maxval=bound, dtype=dtype)}
+        return torch_linear(k, fan_in, out, dtype)
 
     if cfg.tie_embeddings:
         params["output_projection"] = linear(k_proj, H, E)

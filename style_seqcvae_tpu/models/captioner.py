@@ -155,14 +155,10 @@ def init_captioner(key: jax.Array, cfg: CaptionerConfig,
         cfg.attention_projection_size, cfg.z_space, cfg.sentiment_vae,
         cfg.simple_vae, cfg.latent_embedding, dtype)
 
+    from style_seqcvae_tpu.models.init_utils import torch_linear
+
     def linear(k, fan_in, fan_out, bias=True):
-        kw, kb = jax.random.split(k)
-        bound = 1.0 / jnp.sqrt(fan_in)
-        w = jax.random.uniform(kw, (fan_in, fan_out), minval=-bound, maxval=bound, dtype=dtype)
-        if not bias:
-            return {"w": w}
-        b = jax.random.uniform(kb, (fan_out,), minval=-bound, maxval=bound, dtype=dtype)
-        return {"w": w, "b": b}
+        return torch_linear(k, fan_in, fan_out, dtype, bias)
 
     if cfg.tie_embeddings:
         # h → Linear(H,E) → tanh → E·embᵀ (tied, no bias).

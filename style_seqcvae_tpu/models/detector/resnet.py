@@ -80,8 +80,12 @@ def _conv(x, w, stride=1, padding="SAME"):
 
 
 def _bottleneck(x, p, stride):
-    out = jax.nn.relu(_bn(_conv(x, p["conv1"]), p["bn1"]))
-    out = jax.nn.relu(_bn(_conv(out, p["conv2"], stride), p["bn2"]))
+    # caffe-style stride placement: the STRIDE SITS ON THE 1x1 conv1, not
+    # the 3x3 conv2 (reference resnet.py:71-74, the "# change" block) —
+    # torchvision puts it on conv2; with imported reference weights the two
+    # compute different features, so this must match the reference.
+    out = jax.nn.relu(_bn(_conv(x, p["conv1"], stride), p["bn1"]))
+    out = jax.nn.relu(_bn(_conv(out, p["conv2"]), p["bn2"]))
     out = _bn(_conv(out, p["conv3"]), p["bn3"])
     if "downsample" in p:
         x = _bn(_conv(x, p["downsample"]["conv"], stride), p["downsample"]["bn"])
@@ -105,8 +109,15 @@ def backbone(params, images: jnp.ndarray, remat: bool = False) -> jnp.ndarray:
     """images (B, H, W, 3) BGR mean-subtracted → C4 features (B, H/16, W/16, 1024)."""
     x = jax.nn.relu(_bn(_conv(images, params["conv1"], stride=2, padding=[(3, 3), (3, 3)]),
                         params["bn1"]))
+    # stem max-pool: MaxPool2d(3, 2, padding=0, ceil_mode=True) (reference
+    # resnet.py:113 "# change") — windows start at row/col 0 with -inf
+    # padding only at the END when needed for the ceil shape; a symmetric
+    # padding=1 floor pool would shift every window by one and change the
+    # output size for odd inputs.
+    ph = (x.shape[1] - 3) % 2
+    pw = (x.shape[2] - 3) % 2
     x = jax.lax.reduce_window(x, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
-                              [(0, 0), (1, 1), (1, 1), (0, 0)])
+                              [(0, 0), (0, ph), (0, pw), (0, 0)])
     x = _layer(x, params["layer1"], 1, remat)
     x = _layer(x, params["layer2"], 2, remat)
     x = _layer(x, params["layer3"], 2, remat)

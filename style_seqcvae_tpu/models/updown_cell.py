@@ -93,11 +93,10 @@ def init_cell(key: jax.Array, image_feature_size: int, embedding_size: int,
     dec_in = cond + image_feature_size + 2 * hidden_size + z_space
 
     def linear(k, fan_in, fan_out):
-        kw, kb = jax.random.split(k)
-        bound = 1.0 / jnp.sqrt(fan_in)
-        w = jax.random.uniform(kw, (fan_in, fan_out), minval=-bound, maxval=bound, dtype=dtype)
-        b = jax.random.uniform(kb, (fan_out,), minval=-bound, maxval=bound, dtype=dtype)
-        return w, b
+        from style_seqcvae_tpu.models.init_utils import torch_linear
+
+        p = torch_linear(k, fan_in, fan_out, dtype)
+        return p["w"], p["b"]
 
     fc_mean_w, fc_mean_b = linear(keys[4], hidden_size, z_space)
     fc_lv_w, fc_lv_b = linear(keys[5], hidden_size, z_space)

@@ -100,18 +100,15 @@ def test_captioner_import_forward_parity():
     np.testing.assert_allclose(np.asarray(qm), qm_t.detach().numpy(), atol=2e-5)
 
 
-def test_resnet_import_parity():
-    """Import a torchvision-style resnet18-shaped (use 50 here) state dict
-    and check a BN+conv output against torch."""
+def _make_resnet50_sd():
+    """Random torchvision-style depth-50 state dict (shared by the conv1
+    smoke and the full-backbone golden test)."""
     torch.manual_seed(1)
     conv1 = torch.nn.Conv2d(3, 64, 7, 2, 3, bias=False)
     bn1 = torch.nn.BatchNorm2d(64).eval()
     bn1.running_mean.normal_()
     bn1.running_var.uniform_(0.5, 2.0)
     sd = {"conv1.weight": conv1.weight, **{f"bn1.{k}": v for k, v in bn1.state_dict().items()}}
-    # minimal blocks for depth-50 structure
-    import torch.nn as nn
-
     for li, (n, planes, in_ch) in enumerate(
             zip((3, 4, 6, 3), (64, 128, 256, 512), (64, 256, 512, 1024)), start=1):
         ch = in_ch
@@ -122,20 +119,81 @@ def test_resnet_import_parity():
             sd[f"{pfx}.conv3.weight"] = torch.randn(planes * 4, planes, 1, 1) * 0.01
             for b in (1, 2, 3):
                 pl = planes * 4 if b == 3 else planes
-                sd[f"{pfx}.bn{b}.weight"] = torch.ones(pl)
-                sd[f"{pfx}.bn{b}.bias"] = torch.zeros(pl)
-                sd[f"{pfx}.bn{b}.running_mean"] = torch.zeros(pl)
-                sd[f"{pfx}.bn{b}.running_var"] = torch.ones(pl)
+                sd[f"{pfx}.bn{b}.weight"] = torch.rand(pl) * 0.5 + 0.75
+                sd[f"{pfx}.bn{b}.bias"] = torch.randn(pl) * 0.05
+                sd[f"{pfx}.bn{b}.running_mean"] = torch.randn(pl) * 0.05
+                sd[f"{pfx}.bn{b}.running_var"] = torch.rand(pl) * 0.5 + 0.75
             if bi == 0:
                 sd[f"{pfx}.downsample.0.weight"] = torch.randn(planes * 4, ch, 1, 1) * 0.01
-                sd[f"{pfx}.downsample.1.weight"] = torch.ones(planes * 4)
-                sd[f"{pfx}.downsample.1.bias"] = torch.zeros(planes * 4)
-                sd[f"{pfx}.downsample.1.running_mean"] = torch.zeros(planes * 4)
-                sd[f"{pfx}.downsample.1.running_var"] = torch.ones(planes * 4)
+                sd[f"{pfx}.downsample.1.weight"] = torch.rand(planes * 4) * 0.5 + 0.75
+                sd[f"{pfx}.downsample.1.bias"] = torch.randn(planes * 4) * 0.05
+                sd[f"{pfx}.downsample.1.running_mean"] = torch.randn(planes * 4) * 0.05
+                sd[f"{pfx}.downsample.1.running_var"] = torch.rand(planes * 4) * 0.5 + 0.75
             ch = planes * 4
+    return sd, conv1, bn1
 
+
+class _RefBottleneck(torch.nn.Module):
+    """Torch replica of the reference's caffe-style Bottleneck: STRIDE ON
+    CONV1 (1x1), conv2 (3x3) stride 1 (frcnn resnet.py:71-74 "# change")."""
+
+    def __init__(self, in_ch, planes, stride):
+        super().__init__()
+        import torch.nn as nn
+
+        self.conv1 = nn.Conv2d(in_ch, planes, 1, stride, bias=False)
+        self.bn1 = nn.BatchNorm2d(planes)
+        self.conv2 = nn.Conv2d(planes, planes, 3, 1, padding=1, bias=False)
+        self.bn2 = nn.BatchNorm2d(planes)
+        self.conv3 = nn.Conv2d(planes, planes * 4, 1, bias=False)
+        self.bn3 = nn.BatchNorm2d(planes * 4)
+        self.downsample = None
+        if stride != 1 or in_ch != planes * 4:
+            self.downsample = nn.Sequential(
+                nn.Conv2d(in_ch, planes * 4, 1, stride, bias=False),
+                nn.BatchNorm2d(planes * 4))
+
+    def forward(self, x):
+        r = x if self.downsample is None else self.downsample(x)
+        out = torch.relu(self.bn1(self.conv1(x)))
+        out = torch.relu(self.bn2(self.conv2(out)))
+        return torch.relu(self.bn3(self.conv3(out)) + r)
+
+
+class _RefResNet50(torch.nn.Module):
+    """Reference-semantics depth-50 trunk: ceil_mode pad-0 stem pool
+    (frcnn resnet.py:113 "# change") + caffe-stride bottlenecks; exposes
+    the C4 (layer3) output and the layer4+GAP head (resnet.py:292-294)."""
+
+    def __init__(self):
+        super().__init__()
+        import torch.nn as nn
+
+        self.conv1 = nn.Conv2d(3, 64, 7, 2, 3, bias=False)
+        self.bn1 = nn.BatchNorm2d(64)
+        self.maxpool = nn.MaxPool2d(3, 2, padding=0, ceil_mode=True)
+        layers = []
+        ch = 64
+        for n, planes, stride in zip((3, 4, 6, 3), (64, 128, 256, 512),
+                                     (1, 2, 2, 2)):
+            blocks = [_RefBottleneck(ch, planes, stride)]
+            ch = planes * 4
+            blocks += [_RefBottleneck(ch, planes, 1) for _ in range(n - 1)]
+            layers.append(nn.Sequential(*blocks))
+        self.layer1, self.layer2, self.layer3, self.layer4 = layers
+
+    def c4(self, x):
+        x = self.maxpool(torch.relu(self.bn1(self.conv1(x))))
+        return self.layer3(self.layer2(self.layer1(x)))
+
+    def head(self, pooled):
+        return self.layer4(pooled).mean(dim=(2, 3))
+
+
+def test_resnet_import_parity():
+    """conv1+bn1 parity on a small input (importer mapping smoke)."""
+    sd, conv1, bn1 = _make_resnet50_sd()
     params = import_resnet_state_dict(sd, depth=50)
-    # conv1+bn1 parity on a small input
     x = torch.randn(1, 3, 16, 16)
     with torch.no_grad():
         want = bn1(conv1(x)).numpy()
@@ -145,6 +203,38 @@ def test_resnet_import_parity():
                     params["conv1"], stride=2, padding=[(3, 3), (3, 3)]),
               params["bn1"])
     np.testing.assert_allclose(np.asarray(got).transpose(0, 3, 1, 2), want, atol=2e-4)
+
+
+def test_resnet_backbone_full_golden_vs_reference_semantics():
+    """Full-trunk golden: our backbone()/head_to_tail() must match a torch
+    replica of the REFERENCE's modified ResNet (caffe stride-on-conv1
+    bottlenecks, ceil_mode pad-0 stem pool — frcnn resnet.py:66-113
+    "# change" blocks) on the same imported weights. Odd spatial sizes
+    exercise the ceil_mode shape path (37 -> pool 9 vs floor-pad1 10)."""
+    sd, _, _ = _make_resnet50_sd()
+    params = import_resnet_state_dict(sd, depth=50)
+
+    ref = _RefResNet50().eval()
+    ref.load_state_dict({k: v for k, v in sd.items()}, strict=True)
+
+    from style_seqcvae_tpu.models.detector.resnet import backbone, head_to_tail
+
+    torch.manual_seed(3)
+    for H, W in ((64, 96), (75, 83)):  # even and odd
+        x = torch.randn(1, 3, H, W)
+        with torch.no_grad():
+            want_c4 = ref.c4(x).numpy()
+        got_c4 = np.asarray(backbone(params, jnp.asarray(
+            x.numpy().transpose(0, 2, 3, 1)))).transpose(0, 3, 1, 2)
+        assert got_c4.shape == want_c4.shape, (got_c4.shape, want_c4.shape)
+        np.testing.assert_allclose(got_c4, want_c4, atol=2e-4)
+
+    pooled = torch.randn(3, 1024, 7, 7)
+    with torch.no_grad():
+        want_head = ref.head(pooled).numpy()
+    got_head = np.asarray(head_to_tail(
+        params, jnp.asarray(pooled.numpy().transpose(0, 2, 3, 1))))
+    np.testing.assert_allclose(got_head, want_head, atol=2e-4)
 
 
 def test_load_checkpoint_strips_dataparallel(tmp_path):
