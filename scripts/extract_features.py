@@ -53,7 +53,7 @@ def main():
     from style_seqcvae_tpu.models.detector.faster_rcnn import (
         DetectorConfig, detector_forward_test, init_detector)
     from style_seqcvae_tpu.models.detector.rpn import RPNConfig
-    from style_seqcvae_tpu.ops.boxes import bbox_overlaps
+    from style_seqcvae_tpu import native
     from style_seqcvae_tpu.training.checkpointing import CheckpointManager
     from style_seqcvae_tpu.utils.features_io import FeaturesWriter
 
@@ -108,8 +108,10 @@ def main():
         rois_label = None
         gt_att_rows = None
         if n_gt:
-            ious = np.asarray(bbox_overlaps(jnp.asarray(rois[:, 1:5]),
-                                            jnp.asarray(gt[:n_gt, :4])))
+            # host C++ IoU (same +1 convention as ops/boxes.bbox_overlaps):
+            # a per-image device dispatch here would pay the ~35-80 ms
+            # tunnel floor the batched extraction exists to amortize
+            ious = native.iou_matrix(rois[:, 1:5], gt[:n_gt, :4])
             best = ious.argmax(axis=1)
             best_iou = ious.max(axis=1)
             rois_label = np.where(best_iou >= 0.5, gt[best, 4], 0).astype(np.int64)

@@ -150,9 +150,13 @@ def main():
         item = dataset[idx]
         batch = dataset.collate_fn([item])
         obj_att_embeds = None
-        if latent_dict is not None and batch.get("obj_atts"):
+        if latent_dict is not None:
+            # images WITHOUT attribute detections still get a (zeros)
+            # embedding tensor so group staging can concatenate across a
+            # mixed group (zeros = zero prior mean, the reference's
+            # behavior for detection-less images)
             obj_att_embeds = latent_dict.translate_obj_atts(
-                batch["obj_atts"], _C.DATA.MAX_BOXES)
+                batch.get("obj_atts") or [[]], _C.DATA.MAX_BOXES)
         return batch, obj_att_embeds
 
     def decode_single(batch, obj_att_embeds, k):

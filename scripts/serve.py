@@ -249,6 +249,7 @@ def main():
                             "candidates": [caps[int(i)] for i in order]})
 
     if _A.output:
+        os.makedirs(os.path.dirname(os.path.abspath(_A.output)), exist_ok=True)
         with open(_A.output, "w") as f:
             json.dump(predictions, f, indent=2)
         print(f"wrote {len(predictions)} predictions to {_A.output}")

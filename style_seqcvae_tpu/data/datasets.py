@@ -60,6 +60,19 @@ def collate_image_features(feature_list: List[np.ndarray], max_boxes: int) -> np
     return out
 
 
+def _collate_obj_atts(batch_list: List[Dict[str, Any]]):
+    """Per-item obj_atts presence can differ within a batch (e.g. train and
+    val h5 readers where only one file carries the packed streams) — an
+    item without them means "no attribute detections" (empty list), and the
+    batch key is None only when NO item has them. Deciding from item 0
+    alone either crashed downstream iteration on a None or silently zeroed
+    the mode-2 prior for the whole batch."""
+    oa = [x["obj_atts"] for x in batch_list]
+    if all(o is None for o in oa):
+        return None
+    return [o if o is not None else [] for o in oa]
+
+
 class TrainingDataset:
     def __init__(
         self,
@@ -206,14 +219,19 @@ class TrainingDataset:
         if batch_list[0]["image_features"] is not None:
             batch["image_features"] = collate_image_features(
                 [x["image_features"] for x in batch_list], self._max_boxes)
-        batch["obj_atts"] = ([x["obj_atts"] for x in batch_list]
-                             if batch_list[0]["obj_atts"] is not None else None)
+        batch["obj_atts"] = _collate_obj_atts(batch_list)
         return batch
 
-    def batches(self, batch_size: int, rng: Optional[random.Random] = None,
-                drop_last: bool = True):
+    def batches(self, batch_size: int, rng: Optional[random.Random] = None):
         """Infinite shuffled batch generator (updown/utils/common.py:7-27
-        ``cycle`` semantics)."""
+        ``cycle`` semantics); partial trailing batches are dropped (fixed
+        compiled shape)."""
+        if batch_size > len(self):
+            # range() below would be empty and the while-True would spin
+            # forever without yielding — indistinguishable from a hang
+            raise ValueError(
+                f"batch_size {batch_size} exceeds dataset size {len(self)}; "
+                "no full batch can ever be formed")
         rng = rng or random.Random(0)
         while True:
             order = list(range(len(self)))
@@ -347,8 +365,7 @@ class EvaluationDataset:
             "sentiment": np.asarray([[x["sentiment"]] for x in batch_list], np.float32),
             "candidates": None, "constraint2states": None,
         }
-        batch["obj_atts"] = ([x["obj_atts"] for x in batch_list]
-                             if batch_list[0]["obj_atts"] is not None else None)
+        batch["obj_atts"] = _collate_obj_atts(batch_list)
         return batch
 
 
@@ -489,7 +506,12 @@ class EvaluationDatasetWithConstraints(EvaluationDataset):
             n_avail = min(self._max_given_objects - n_objects_added,
                           self._max_given_constraints - n_objects_added
                           - len(attribs_already_added))
-            candidates.extend(objects_without_attributes[:max(n_avail, 0)])
+            # NO clamp at 0: a NEGATIVE slot count uses Python negative-
+            # slice semantics (keep all but the last |n| entries) exactly
+            # like the reference (datasets.py:568-570) — clamping changed
+            # the grounded-mode candidate list whenever more objects were
+            # added than MAX_GIVEN_OBJECTS
+            candidates.extend(objects_without_attributes[:n_avail])
             fsm_input = []
             for o in candidates:
                 fsm_input.extend(o[1])

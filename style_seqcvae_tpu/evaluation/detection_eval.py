@@ -85,7 +85,10 @@ def evaluate_detections(detections: List[dict], ground_truth: List[dict],
                     tps[ti, di] = True
 
         aps = np.zeros(len(IOU_THRESHOLDS))
-        for ti in range(len(IOU_THRESHOLDS)):
+        # D == 0 (GT but no detections): AP is 0 at every threshold; the
+        # loop below would index an empty precision array (np.where
+        # evaluates both branches eagerly).
+        for ti in range(len(IOU_THRESHOLDS) if D else 0):
             tp = np.cumsum(tps[ti])
             fp = np.cumsum(~tps[ti])
             recall = tp / n_gt

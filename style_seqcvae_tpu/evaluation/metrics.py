@@ -440,6 +440,30 @@ class MeteorJava:
             ["java", "-jar", "-Xmx2G", jar, "-", "-", "-stdio", "-l", "en", "-norm"],
             stdin=subprocess.PIPE, stdout=subprocess.PIPE, text=True)
 
+    def close(self) -> None:
+        """Terminate the JVM (a 2 GB-heap java process otherwise lives
+        until interpreter exit — one leaked per instantiation)."""
+        if self._proc is not None:
+            self._proc.stdin.close()
+            self._proc.terminate()
+            try:
+                self._proc.wait(timeout=5)
+            except subprocess.TimeoutExpired:
+                self._proc.kill()
+            self._proc = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
     def compute_score(self, gts: Dict, res: Dict) -> Tuple[float, List[float]]:
         image_ids = list(gts.keys())
         eval_line = "EVAL"

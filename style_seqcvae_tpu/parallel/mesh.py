@@ -52,7 +52,6 @@ def shard_batch(mesh: Mesh, batch, leading_scan_axis: bool = False):
 
     ``leading_scan_axis``: the leaves carry a (K, batch, …) steps-per-
     dispatch stack — shard axis 1 (the batch) and replicate the scan axis."""
-    sh = batch_sharding(mesh)
 
     def put(x):
         if x is None:

@@ -43,10 +43,16 @@ class CheckpointManager:
         if config_dump:
             with open(self._path(f"checkpoint_{iteration}.config.yml"), "w") as f:
                 f.write(config_dump)
+        # ties REFRESH best (>=/<=): the train CLI passes a constant metric
+        # (the reference does the same, checkpointing.py:81-113), and with a
+        # strict comparison checkpoint_best would freeze at the FIRST save
+        # while pruning deletes the numbered checkpoints around it — and
+        # inference/serve default to loading checkpoint_best. With ties
+        # refreshing, a constant metric makes best track the newest save.
         improved = (
             self._best_metric is None
-            or (self._mode == "max" and metric > self._best_metric)
-            or (self._mode == "min" and metric < self._best_metric)
+            or (self._mode == "max" and metric >= self._best_metric)
+            or (self._mode == "min" and metric <= self._best_metric)
         )
         if improved:
             self._best_metric = float(metric)

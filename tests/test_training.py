@@ -189,6 +189,38 @@ def test_checkpoint_retention_prunes_old_keeps_best(tmp_path):
                                   np.asarray(state.params["embedding"]))
 
 
+def test_checkpoint_best_ties_track_newest(tmp_path):
+    """With the train CLI's constant metric, checkpoint_best must track the
+    NEWEST save (ties refresh best): inference/serve default to loading
+    checkpoint_best, and a strict comparison would freeze it at the first
+    periodic save while retention pruned everything around it."""
+    from style_seqcvae_tpu.training.checkpointing import CheckpointManager
+
+    config = small_config()
+    params = init_captioner(jax.random.PRNGKey(0), CFG)
+    state, tx = create_train_state(params, config, CFG, jax.random.PRNGKey(1))
+    step = make_train_step(tx, CFG, config.MODEL.KLD_WEIGHT)
+    batch = make_batch(8)
+
+    mgr = CheckpointManager(str(tmp_path / "ser"))
+    mgr.step(state, metric=0.0, iteration=1)
+    state2, _ = step(state, batch)
+    mgr.step(state2, metric=0.0, iteration=2)
+
+    target, _ = create_train_state(
+        init_captioner(jax.random.PRNGKey(9), CFG), config, CFG,
+        jax.random.PRNGKey(2))
+    restored = mgr.restore("checkpoint_best", target)
+    assert int(restored.opt_state.step) == int(state2.opt_state.step)
+    np.testing.assert_array_equal(
+        np.asarray(restored.params["output_projection"]["w"]
+                   if "output_projection" in restored.params
+                   else restored.params["output_layer"]["w"]),
+        np.asarray(state2.params["output_projection"]["w"]
+                   if "output_projection" in state2.params
+                   else state2.params["output_layer"]["w"]))
+
+
 def test_bf16_compute_tracks_f32():
     """--bf16-compute (bf16 fwd/bwd, f32 master params + optimizer): per-step
     losses must track the f32 run closely and params must stay float32.
