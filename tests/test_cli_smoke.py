@@ -319,3 +319,61 @@ def test_train_cli_steps_per_dispatch_equivalence(cli_fixture):
     for xa, xb in zip(la, lb):
         _np.testing.assert_allclose(_np.asarray(xb), _np.asarray(xa),
                                     rtol=1e-5, atol=1e-6)
+
+
+def test_build_vocabulary_cli(tmp_path):
+    """Drive scripts/build_vocabulary.py end-to-end: COCO threshold, Senticap
+    combined-count threshold, specials-first AllenNLP file output (reference
+    var_updown/scripts/build_vocabulary.py:55-136)."""
+    anns = []
+    for i in range(3):
+        anns.append({"id": 700 + i, "image_id": 700 + i,
+                     "caption": "a dog runs in the park"})
+    anns.append({"id": 703, "image_id": 703, "caption": "a zebra"})
+    (tmp_path / "captions.json").write_text(json.dumps({"annotations": anns}))
+    senti = {"images": [{
+        "filename": "COCO_val2014_000000000701.jpg",
+        "sentences": [{"raw": "gloomy dog"}, {"raw": "gloomy park"}],
+    }]}
+    (tmp_path / "senticap.json").write_text(json.dumps(senti))
+
+    out = tmp_path / "vocab"
+    stdout = _run(["scripts/build_vocabulary.py",
+                   "-c", str(tmp_path / "captions.json"),
+                   "-s", str(tmp_path / "senticap.json"),
+                   "-t", "3", "-st", "2",
+                   "-o", str(out)])
+    assert "Caption vocabulary size" in stdout
+
+    from style_seqcvae_tpu.data.vocabulary import (
+        BOUNDARY_TOKEN, UNK_TOKEN, Vocabulary)
+
+    vocab = Vocabulary.from_files(str(out))
+    tokens = vocab._index_to_token
+    assert tokens[0] == UNK_TOKEN and tokens[1] == BOUNDARY_TOKEN
+    # COCO words at count >= 3 survive; the count-1 "zebra" does not.
+    for w in ("a", "dog", "runs", "in", "the", "park"):
+        assert w in tokens, w
+    assert "zebra" not in tokens
+    # Senticap-only word at combined count >= 2 is added.
+    assert "gloomy" in tokens
+    # Body is sorted after the two specials (AllenNLP file parity).
+    assert tokens[2:] == sorted(tokens[2:])
+
+
+def test_compare_meteor_jar_cli_without_jar(tmp_path):
+    """scripts/compare_meteor_jar.py must fail fast with a clear message when
+    no meteor jar is configured (the documented offline behavior), not crash
+    or silently succeed."""
+    (tmp_path / "p.json").write_text(json.dumps(
+        [{"image_id": 1, "caption": "a dog"}]))
+    (tmp_path / "c.json").write_text(json.dumps(
+        {"annotations": [{"image_id": 1, "caption": "a dog runs"}]}))
+    env = {k: v for k, v in os.environ.items() if k != "METEOR_JAR"}
+    proc = subprocess.run(
+        [sys.executable, "scripts/compare_meteor_jar.py",
+         "--predictions", str(tmp_path / "p.json"),
+         "--captions", str(tmp_path / "c.json")],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=120)
+    assert proc.returncode != 0
+    assert "meteor jar unavailable" in proc.stderr
