@@ -53,6 +53,9 @@ def main():
 
     if _A.cpu:
         jax.config.update("jax_platforms", "cpu")
+    from style_seqcvae_tpu.parallel.multihost import (
+        maybe_initialize_distributed)
+    maybe_initialize_distributed()  # no-op unless SSC_MULTIHOST/SSC_COORDINATOR
     from style_seqcvae_tpu.utils.cache import enable_compile_cache
     enable_compile_cache()
     import jax.numpy as jnp

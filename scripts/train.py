@@ -54,6 +54,9 @@ def main():
 
     if _A.cpu:
         jax.config.update("jax_platforms", "cpu")
+    from style_seqcvae_tpu.parallel.multihost import (
+        local_batch_size, maybe_initialize_distributed)
+    maybe_initialize_distributed()  # no-op unless SSC_MULTIHOST/SSC_COORDINATOR
     from style_seqcvae_tpu.utils.cache import enable_compile_cache
     enable_compile_cache()
 
@@ -156,8 +159,14 @@ def main():
     writer = MetricsWriter(_A.serialization_dir)
     timer = StepTimer()
     num_iterations = _A.max_iterations or _C.OPTIM.NUM_ITERATIONS
-    batches = dataset.batches(_C.OPTIM.BATCH_SIZE,
-                              rng=random.Random(_C.RANDOM_SEED))
+    # Multi-host: each process loads its local slice of the global batch
+    # (same seeded shuffle, disjoint stride) and shard_batch assembles the
+    # global array from the per-process shards. Single-process: the whole
+    # batch, plain device_put (parallel/multihost.py).
+    batches = dataset.batches(
+        local_batch_size(_C.OPTIM.BATCH_SIZE),
+        rng=random.Random(_C.RANDOM_SEED),
+        process_shard=(jax.process_index(), jax.process_count()))
 
     def host_batches():
         for batch in batches:

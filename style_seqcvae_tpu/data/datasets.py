@@ -222,20 +222,32 @@ class TrainingDataset:
         batch["obj_atts"] = _collate_obj_atts(batch_list)
         return batch
 
-    def batches(self, batch_size: int, rng: Optional[random.Random] = None):
+    def batches(self, batch_size: int, rng: Optional[random.Random] = None,
+                process_shard: Optional[tuple] = None):
         """Infinite shuffled batch generator (updown/utils/common.py:7-27
         ``cycle`` semantics); partial trailing batches are dropped (fixed
-        compiled shape)."""
-        if batch_size > len(self):
+        compiled shape).
+
+        ``process_shard=(index, count)``: multi-host input sharding — every
+        process shuffles the same global order (same seeded ``rng``) and
+        takes a disjoint stride of it, so ``count`` processes each yielding
+        ``batch_size`` local rows jointly cover one ``batch_size·count``
+        global batch with no duplicates (see ``parallel/multihost.py``)."""
+        shard_index, shard_count = process_shard or (0, 1)
+        if not 0 <= shard_index < shard_count:
+            raise ValueError(f"bad process_shard ({shard_index}, {shard_count})")
+        if batch_size * shard_count > len(self):
             # range() below would be empty and the while-True would spin
             # forever without yielding — indistinguishable from a hang
             raise ValueError(
-                f"batch_size {batch_size} exceeds dataset size {len(self)}; "
-                "no full batch can ever be formed")
+                f"batch_size {batch_size} x {shard_count} process(es) "
+                f"exceeds dataset size {len(self)}; no full batch can ever "
+                "be formed")
         rng = rng or random.Random(0)
         while True:
             order = list(range(len(self)))
             rng.shuffle(order)
+            order = order[shard_index::shard_count]
             for start in range(0, len(order) - batch_size + 1, batch_size):
                 idx = order[start:start + batch_size]
                 yield self.collate_fn([self[i] for i in idx])

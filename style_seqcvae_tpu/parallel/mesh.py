@@ -13,8 +13,12 @@ TPU-native replacement (SURVEY.md §2.6/§5.8):
 * **FSDP-style param sharding** (optional): large parameter leaves sharded
   over ``data`` and all-gathered on use.
 
-Multi-host would use ``jax.distributed.initialize`` + the same code — no
-hand-written collectives anywhere.
+Multi-host uses ``jax.distributed.initialize`` + the same code — no
+hand-written collectives anywhere: see :mod:`.multihost`
+(``maybe_initialize_distributed`` + per-process local→global batch
+assembly). :func:`shard_batch` / :func:`shard_detector_batch` route
+through ``jax.make_array_from_process_local_data`` automatically when
+running multi-process.
 """
 
 from __future__ import annotations
@@ -47,8 +51,29 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS))
 
 
+def _batch_leaf_spec(ndim: int, leading_scan_axis: bool) -> P:
+    """Partition spec for one batch leaf: batch dim over ``data``; with a
+    (K, batch, …) steps-per-dispatch stack, axis 1 is the batch."""
+    if leading_scan_axis:
+        return P(None, DATA_AXIS) if ndim >= 2 else P()
+    return P(DATA_AXIS) if ndim >= 1 else P()
+
+
+def _put_leaf(mesh: Mesh, x, spec: P):
+    """Place one host array with ``spec``. Single-process: plain
+    ``device_put`` of the global array. Multi-process (multi-host): ``x``
+    is this process's LOCAL shard and the global array is assembled via
+    ``jax.make_array_from_process_local_data`` (SURVEY.md §5.8) — each
+    process feeds only the rows its addressable devices own."""
+    if jax.process_count() > 1:
+        return jax.make_array_from_process_local_data(
+            NamedSharding(mesh, spec), np.asarray(x))
+    return jax.device_put(jnp.asarray(x), NamedSharding(mesh, spec))
+
+
 def shard_batch(mesh: Mesh, batch, leading_scan_axis: bool = False):
-    """Device-put every array in a batch pytree with batch-dim sharding.
+    """Place every array in a batch pytree with batch-dim sharding
+    (process-local shards when running multi-host, see :func:`_put_leaf`).
 
     ``leading_scan_axis``: the leaves carry a (K, batch, …) steps-per-
     dispatch stack — shard axis 1 (the batch) and replicate the scan axis."""
@@ -57,11 +82,7 @@ def shard_batch(mesh: Mesh, batch, leading_scan_axis: bool = False):
         if x is None:
             return None
         x = jnp.asarray(x)
-        if leading_scan_axis:
-            spec = P(None, DATA_AXIS) if x.ndim >= 2 else P()
-        else:
-            spec = P(DATA_AXIS) if x.ndim >= 1 else P()
-        return jax.device_put(x, NamedSharding(mesh, spec))
+        return _put_leaf(mesh, x, _batch_leaf_spec(x.ndim, leading_scan_axis))
 
     return jax.tree_util.tree_map(put, batch)
 
@@ -90,7 +111,7 @@ def shard_detector_batch(mesh: Mesh, batch, leading_scan_axis: bool = False):
             spec = P(None, DATA_AXIS) if v.ndim >= 2 else P()
         else:
             spec = P(DATA_AXIS)
-        out[k] = jax.device_put(v, NamedSharding(mesh, spec))
+        out[k] = _put_leaf(mesh, v, spec)
     return out
 
 

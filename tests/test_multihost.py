@@ -1,0 +1,139 @@
+"""Multi-host layer (SURVEY.md §5.8): env-gated jax.distributed init,
+per-process local→global batch assembly, and per-process dataset sharding.
+
+No multi-host hardware exists here, so the tests pin (a) the single-process
+degenerate behavior every CLI exercises, (b) that the multi-process code
+path (``make_array_from_process_local_data`` assembly, forced by faking
+``process_count``) produces placements identical to plain ``device_put``
+when local data == global data, and (c) the disjoint-stride semantics of
+``TrainingDataset.batches(process_shard=…)``.
+"""
+
+import random
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from style_seqcvae_tpu.parallel import mesh as mesh_mod
+from style_seqcvae_tpu.parallel.mesh import make_mesh, shard_batch
+from style_seqcvae_tpu.parallel.multihost import (
+    local_batch_size, maybe_initialize_distributed)
+
+
+def test_maybe_initialize_is_noop_without_env(monkeypatch):
+    monkeypatch.delenv("SSC_COORDINATOR", raising=False)
+    monkeypatch.delenv("SSC_MULTIHOST", raising=False)
+    maybe_initialize_distributed()  # must not raise or initialize
+    assert jax.process_count() == 1
+
+
+def test_local_batch_size_single_process():
+    assert local_batch_size(32) == 32
+
+
+def test_local_batch_size_divisibility(monkeypatch):
+    import style_seqcvae_tpu.parallel.multihost as mh
+
+    monkeypatch.setattr(mh.jax, "process_count", lambda: 4)
+    assert local_batch_size(32) == 8
+    with pytest.raises(ValueError, match="not divisible"):
+        local_batch_size(30)
+
+
+def test_process_local_assembly_matches_device_put(monkeypatch):
+    """Force the multi-process branch of shard_batch: with one real process
+    the 'local' data is the global batch, so
+    make_array_from_process_local_data must produce exactly the same values
+    and shardings as the single-process device_put path."""
+    mesh = make_mesh(8, 1)
+    batch = {
+        "image_features": np.random.RandomState(0).randn(16, 5, 8).astype(np.float32),
+        "caption_tokens": np.arange(16 * 6).reshape(16, 6).astype(np.int32),
+        "sentiment": np.ones((16, 1), np.float32),
+        "scalar": np.float32(3.0),
+        "none": None,
+    }
+    expected = shard_batch(mesh, batch)
+
+    monkeypatch.setattr(mesh_mod.jax, "process_count", lambda: 2)
+    got = shard_batch(mesh, batch)
+
+    for k in ("image_features", "caption_tokens", "sentiment", "scalar"):
+        np.testing.assert_array_equal(np.asarray(got[k]), np.asarray(expected[k]))
+        assert got[k].sharding == expected[k].sharding, k
+    assert got["none"] is None
+
+    # same for the (K, B, ...) steps-per-dispatch stacking
+    stacked = {"x": np.random.RandomState(1).randn(3, 16, 4).astype(np.float32)}
+    monkeypatch.undo()
+    exp2 = shard_batch(mesh, stacked, leading_scan_axis=True)
+    monkeypatch.setattr(mesh_mod.jax, "process_count", lambda: 2)
+    got2 = shard_batch(mesh, stacked, leading_scan_axis=True)
+    np.testing.assert_array_equal(np.asarray(got2["x"]), np.asarray(exp2["x"]))
+    assert got2["x"].sharding == exp2["x"].sharding
+
+
+def test_assembled_batch_feeds_jit(monkeypatch):
+    """A make_array-assembled input runs through a jitted sharded reduction
+    and matches the host computation."""
+    mesh = make_mesh(8, 1)
+    x = np.random.RandomState(2).randn(16, 4).astype(np.float32)
+    monkeypatch.setattr(mesh_mod.jax, "process_count", lambda: 2)
+    placed = shard_batch(mesh, {"x": x})["x"]
+    monkeypatch.undo()
+    out = jax.jit(lambda a: jnp.sum(a * a))(placed)
+    np.testing.assert_allclose(float(out), float((x * x).sum()), rtol=1e-5)
+
+
+def _tiny_dataset(tmp_path, n_images=12):
+    from style_seqcvae_tpu.data.datasets import TrainingDataset
+    from style_seqcvae_tpu.data.vocabulary import (
+        BOUNDARY_TOKEN, UNK_TOKEN, Vocabulary)
+    from style_seqcvae_tpu.utils.features_io import (
+        FeaturesWriter, pack_obj_atts)
+    import json
+
+    ids = list(range(1, n_images + 1))
+    anns = [{"id": i, "image_id": iid, "caption": "a dog"}
+            for i, iid in enumerate(ids)]
+    (tmp_path / "coco.json").write_text(json.dumps({"annotations": anns}))
+    w = FeaturesWriter(str(tmp_path / "f.h5"), len(ids))
+    rng = np.random.RandomState(0)
+    for i, iid in enumerate(ids):
+        w.write(i, iid, rng.randn(4, 8).astype(np.float32),
+                pack_obj_atts(list(range(1, 5)), [[0]] * 4),
+                np.zeros((0,), np.float32))
+    w.close()
+    vocab = Vocabulary([UNK_TOKEN, BOUNDARY_TOKEN, "a", "dog"])
+    return TrainingDataset(
+        vocabulary=vocab, captions_jsonpath=str(tmp_path / "coco.json"),
+        do_load_coco=True, image_features_h5path=str(tmp_path / "f.h5"),
+        max_caption_length=5, max_boxes=4)
+
+
+def test_process_shard_disjoint_cover(tmp_path):
+    """Two processes with the same seeded rng draw disjoint index strides
+    that jointly cover the epoch's shuffled order."""
+    ds = _tiny_dataset(tmp_path)
+    n = len(ds)
+
+    def first_epoch_ids(shard):
+        gen = ds.batches(3, rng=random.Random(7), process_shard=shard)
+        ids = []
+        for _ in range(n // 2 // 3):  # one epoch of this process's shard
+            batch = next(gen)
+            ids.extend(int(i) for i in batch["image_id"])
+        return ids
+
+    a = first_epoch_ids((0, 2))
+    b = first_epoch_ids((1, 2))
+    assert not set(a) & set(b)
+    assert len(set(a)) == len(a) and len(set(b)) == len(b)
+    assert len(a) + len(b) == n
+
+    with pytest.raises(ValueError, match="bad process_shard"):
+        next(ds.batches(3, process_shard=(2, 2)))
+    with pytest.raises(ValueError, match="exceeds dataset size"):
+        next(ds.batches(5, process_shard=(0, 3)))
