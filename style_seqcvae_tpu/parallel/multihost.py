@@ -24,11 +24,16 @@ a per-process dataset shard — ``TrainingDataset.batches(...,
 process_shard=(index, count))``), and the train step sees one global
 batch. No other call-site changes.
 
-There is no multi-host hardware in this environment; the single-process
-path (the one every test and CLI exercises) is verified to be identical
-to plain ``device_put`` placement in ``tests/test_multihost.py``, which
-also exercises the ``make_array_from_process_local_data`` assembly on the
-virtual 8-device mesh where process-local data == global data.
+There is no multi-host hardware in this environment, but the
+multi-process branch IS executed for real: ``tests/test_multihost.py::
+test_real_two_process_cluster`` (and the final ``dryrun_multichip``
+stage) stand up a genuine 2-process ``jax.distributed`` CPU cluster on
+localhost — coordinator + two subprocesses, each with forced host
+devices, wired through this module's SSC_COORDINATOR env path — and
+verify the global loss/update on disjoint per-process shards equals the
+single-process run on the concatenated batch (see
+:mod:`.distributed_worker`). The single-process path is additionally
+verified identical to plain ``device_put`` placement.
 """
 
 from __future__ import annotations
