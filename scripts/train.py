@@ -40,6 +40,14 @@ parser.add_argument("--bf16-compute", action="store_true",
                          "reference shape; per-step losses track f32)")
 parser.add_argument("--max-iterations", type=int, default=0,
                     help="override OPTIM.NUM_ITERATIONS for smoke runs")
+parser.add_argument("--device-corpus", action="store_true",
+                    help="upload the ENTIRE precomputed-features corpus to "
+                         "device HBM once and gather batch rows by index "
+                         "inside the compiled step — per-step host work "
+                         "drops to tokens-only (vs re-shipping "
+                         "batch*boxes*2048 floats every step). Requires the "
+                         "table to fit in HBM; mode-2 (latent dictionaries) "
+                         "falls back to the host feature path")
 parser.add_argument("--steps-per-dispatch", type=int, default=1,
                     help="K optimizer steps per device dispatch (lax.scan "
                          "over K stacked batches) — amortizes the ~30 ms "
@@ -136,11 +144,41 @@ def main():
         _C.RANDOM_SEED + 1))
     compute_dtype = jnp.bfloat16 if _A.bf16_compute else None
     k_steps = max(1, _A.steps_per_dispatch)
+    device_corpus = _A.device_corpus and _A.model != "baseline"
+    if device_corpus and latent_dict is not None:
+        print("--device-corpus: mode-2 latent dictionaries need per-item "
+              "obj_atts — falling back to the host feature path")
+        device_corpus = False
+    feats_dev, feat_row_of = None, None
+    if device_corpus:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        table, feat_row_of = dataset.feature_table()
+        dataset.skip_feature_read = True
+        feats_dev = jax.device_put(
+            table, NamedSharding(mesh, PartitionSpec()))
+        if compute_dtype is not None:
+            feats_dev = jax.jit(lambda t: t.astype(compute_dtype))(feats_dev)
+        print(f"device corpus: {table.shape} "
+              f"({feats_dev.nbytes / 1e6:.0f} MB on device)")
+        del table
     if _A.model == "baseline":
         train_step = make_baseline_train_step(tx, model_cfg,
                                               compute_dtype=compute_dtype)
         if k_steps > 1:
             raise SystemExit("--steps-per-dispatch supports the cvae family")
+    elif device_corpus:
+        from style_seqcvae_tpu.training.trainer import (
+            make_corpus_chained_train_step, make_corpus_train_step)
+
+        _step1 = make_corpus_train_step(tx, model_cfg, _C.MODEL.KLD_WEIGHT,
+                                        compute_dtype=compute_dtype)
+        train_step = lambda s, b: _step1(s, feats_dev, b)  # noqa: E731
+        if k_steps > 1:
+            _stepk = make_corpus_chained_train_step(
+                tx, model_cfg, _C.MODEL.KLD_WEIGHT,
+                compute_dtype=compute_dtype)
+            chained_step = lambda s, b: _stepk(s, feats_dev, b)  # noqa: E731
     else:
         train_step = make_train_step(tx, model_cfg, _C.MODEL.KLD_WEIGHT,
                                      compute_dtype=compute_dtype)
@@ -171,10 +209,14 @@ def main():
     def host_batches():
         for batch in batches:
             model_batch = {
-                "image_features": batch["image_features"],
                 "caption_tokens": batch["caption_tokens"],
                 "sentiment": batch["sentiment"],
             }
+            if device_corpus:
+                model_batch["feat_idx"] = np.asarray(
+                    [feat_row_of[int(i)] for i in batch["image_id"]], np.int32)
+            else:
+                model_batch["image_features"] = batch["image_features"]
             if latent_dict is not None and batch["obj_atts"] is not None:
                 model_batch["obj_att_embeds"] = latent_dict.translate_obj_atts(
                     batch["obj_atts"], _C.DATA.MAX_BOXES)

@@ -101,6 +101,11 @@ class TrainingDataset:
         self.use_obj_att_preds = use_obj_att_preds
         self.att_pred_thresh = att_pred_thresh
         self.obj_id2name = obj_id2name or []
+        # Device-resident corpus mode (train.py --device-corpus): __getitem__
+        # skips the per-item feature read entirely — the whole feature table
+        # ships to HBM once via feature_table() and the train step gathers
+        # rows by index on device, so per-step host work is tokens-only.
+        self.skip_feature_read = False
 
         self._features = (FeaturesReader(image_features_h5path, in_memory,
                                          use_obj_att_preds)
@@ -179,7 +184,7 @@ class TrainingDataset:
             sentiment = 0
 
         image_features, obj_atts = None, None
-        if self._features is not None:
+        if self._features is not None and not self.skip_feature_read:
             try:
                 image_features, obj_atts = self._features[image_id]
             except KeyError:
@@ -221,6 +226,38 @@ class TrainingDataset:
                 [x["image_features"] for x in batch_list], self._max_boxes)
         batch["obj_atts"] = _collate_obj_atts(batch_list)
         return batch
+
+    def feature_table(self):
+        """Materialize the full feature corpus as one dense array for
+        device-resident training (train.py --device-corpus): the finite
+        precomputed-features table uploads to HBM ONCE and each step
+        gathers its batch rows by index inside the compiled step — the
+        TPU-native alternative to re-shipping ~batch·boxes·2048 floats
+        through the host every step (the reference re-reads HDF5 per batch
+        through DataLoader workers, updown datasets.py:123-137).
+
+        Returns ``(table, row_of)``: ``table`` is (num_images, max_boxes,
+        feat_dim) float32 zero-padded over boxes, ``row_of`` maps image_id
+        → table row."""
+        assert self._features is not None, "dataset has no features reader"
+        readers = [self._features]
+        if self._features_valid is not None:
+            readers.append(self._features_valid)
+        ids, feats0 = [], None
+        for r in readers:
+            ids.extend(r.image_ids)
+        row_of = {iid: i for i, iid in enumerate(dict.fromkeys(ids))}
+        for r in readers:
+            feats0, _ = r[r.image_ids[0]]
+            break
+        table = np.zeros((len(row_of), self._max_boxes, feats0.shape[-1]),
+                         np.float32)
+        for r in readers:
+            for iid in r.image_ids:
+                f, _ = r[iid]
+                n = min(f.shape[0], self._max_boxes)
+                table[row_of[iid], :n] = f[:n]
+        return table, row_of
 
     def batches(self, batch_size: int, rng: Optional[random.Random] = None,
                 process_shard: Optional[tuple] = None):

@@ -101,6 +101,42 @@ def make_chained_train_step(tx, model_cfg: CaptionerConfig, kld_weight: float,
     return jax.jit(chained, donate_argnums=(0,))
 
 
+def make_corpus_train_step(tx, model_cfg: CaptionerConfig, kld_weight: float,
+                           compute_dtype=None):
+    """``step(state, feats_table, batch)`` — the batch carries a
+    ``feat_idx`` (B,) int32 column instead of ``image_features``; the
+    (num_images, boxes, F) corpus table lives on device (replicated over
+    the mesh) and the step gathers its rows inside the compiled program.
+    Identical math to ``make_train_step`` on the gathered features; the
+    table is a jit ARGUMENT (not donated, not a baked constant)."""
+    body = _make_train_body(tx, model_cfg, kld_weight, compute_dtype)
+
+    def step(state: TrainState, feats_table, batch):
+        b = dict(batch)
+        b["image_features"] = feats_table[b.pop("feat_idx")]
+        return body(state, b)
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def make_corpus_chained_train_step(tx, model_cfg: CaptionerConfig,
+                                   kld_weight: float, compute_dtype=None):
+    """K-steps-per-dispatch variant of :func:`make_corpus_train_step`:
+    ``chained(state, feats_table, batches)`` with ``batches["feat_idx"]``
+    stacked (K, B); the device-side gather happens per scanned step."""
+    body = _make_train_body(tx, model_cfg, kld_weight, compute_dtype)
+
+    def chained(state: TrainState, feats_table, batches):
+        def one(st, b):
+            b = dict(b)
+            b["image_features"] = feats_table[b.pop("feat_idx")]
+            return body(st, b)
+
+        return jax.lax.scan(one, state, batches)
+
+    return jax.jit(chained, donate_argnums=(0,))
+
+
 def make_baseline_train_step(tx, model_cfg: CaptionerConfig,
                              compute_dtype=None):
     """Train step for the non-VAE UpDown baseline family

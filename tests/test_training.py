@@ -342,3 +342,70 @@ def test_sharded_chained_step_matches_unsharded():
     state2, mk2 = chained2(state2, jax.tree_util.tree_map(jnp.asarray,
                                                           stacked_np))
     np.testing.assert_allclose(mk["loss"], np.asarray(mk2["loss"]), rtol=1e-4)
+
+
+def test_corpus_step_equals_regular():
+    """The --device-corpus path (HBM-resident feature table + in-step index
+    gather, trainer.make_corpus_train_step) must be mathematically identical
+    to the host feature path on the gathered rows — single step and the
+    K-chained variant."""
+    from style_seqcvae_tpu.training.trainer import (
+        make_corpus_chained_train_step, make_corpus_train_step,
+        make_chained_train_step)
+
+    config = small_config()
+    rng = np.random.RandomState(11)
+    N = 10
+    table = rng.randn(N, 4, 8).astype(np.float32)
+    idx = rng.randint(0, N, (8,)).astype(np.int32)
+    base = {
+        "caption_tokens": jnp.asarray(
+            rng.randint(2, 30, (8, 6)).astype(np.int32)),
+        "sentiment": jnp.asarray(
+            rng.choice([-1.0, 1.0], (8, 1)).astype(np.float32)),
+    }
+
+    params_a = init_captioner(jax.random.PRNGKey(0), CFG)
+    state_a, tx_a = create_train_state(params_a, config, CFG, jax.random.PRNGKey(1))
+    step_a = make_train_step(tx_a, CFG, config.MODEL.KLD_WEIGHT)
+    state_a, m_a = step_a(state_a, {**base,
+                                    "image_features": jnp.asarray(table[idx])})
+
+    params_b = init_captioner(jax.random.PRNGKey(0), CFG)
+    state_b, tx_b = create_train_state(params_b, config, CFG, jax.random.PRNGKey(1))
+    step_b = make_corpus_train_step(tx_b, CFG, config.MODEL.KLD_WEIGHT)
+    state_b, m_b = step_b(state_b, jnp.asarray(table),
+                          {**base, "feat_idx": jnp.asarray(idx)})
+
+    for k in m_a:
+        np.testing.assert_allclose(float(m_b[k]), float(m_a[k]), rtol=1e-6)
+    for la, lb in zip(jax.tree_util.tree_leaves(state_a.params),
+                      jax.tree_util.tree_leaves(state_b.params)):
+        np.testing.assert_allclose(np.asarray(lb), np.asarray(la), rtol=1e-6)
+
+    # chained K=3 window vs the regular chained step on gathered features
+    K = 3
+    idxs = rng.randint(0, N, (K, 8)).astype(np.int32)
+    toks = rng.randint(2, 30, (K, 8, 6)).astype(np.int32)
+    sent = rng.choice([-1.0, 1.0], (K, 8, 1)).astype(np.float32)
+
+    params_c = init_captioner(jax.random.PRNGKey(0), CFG)
+    state_c, tx_c = create_train_state(params_c, config, CFG, jax.random.PRNGKey(1))
+    corpus_chained = make_corpus_chained_train_step(tx_c, CFG,
+                                                    config.MODEL.KLD_WEIGHT)
+    state_c, mk_c = corpus_chained(state_c, jnp.asarray(table), {
+        "feat_idx": jnp.asarray(idxs), "caption_tokens": jnp.asarray(toks),
+        "sentiment": jnp.asarray(sent)})
+
+    params_d = init_captioner(jax.random.PRNGKey(0), CFG)
+    state_d, tx_d = create_train_state(params_d, config, CFG, jax.random.PRNGKey(1))
+    chained = make_chained_train_step(tx_d, CFG, config.MODEL.KLD_WEIGHT)
+    state_d, mk_d = chained(state_d, {
+        "image_features": jnp.asarray(table[idxs]),
+        "caption_tokens": jnp.asarray(toks), "sentiment": jnp.asarray(sent)})
+
+    np.testing.assert_allclose(np.asarray(mk_c["loss"]),
+                               np.asarray(mk_d["loss"]), rtol=1e-6)
+    for lc, ld in zip(jax.tree_util.tree_leaves(state_c.params),
+                      jax.tree_util.tree_leaves(state_d.params)):
+        np.testing.assert_allclose(np.asarray(lc), np.asarray(ld), rtol=1e-6)
