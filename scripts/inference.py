@@ -41,6 +41,23 @@ parser.add_argument("--num-data", type=int, default=1,
                          "multi-chip replacement for the reference's "
                          "DataParallel inference, inference.py:108-109); "
                          "captions are identical to the unsharded decode")
+parser.add_argument("--sampler", default="",
+                    choices=["", "multinomial", "topk", "topp", "gumbel"],
+                    help="decode with a stochastic sampler instead of "
+                         "beam/CBS (the vendored AllenNLP sampler classes, "
+                         "var_updown beam_search.py:88-295): multinomial = "
+                         "ancestral sampling, topk/topp = filtered sampling, "
+                         "gumbel = stochastic beam search (Kool et al. 2019, "
+                         "samples without replacement). CBS constraints are "
+                         "ignored under --sampler, matching the reference "
+                         "where samplers exist only in the plain BeamSearch "
+                         "path. Deterministic for a fixed RANDOM_SEED")
+parser.add_argument("--sampler-k", type=int, default=5,
+                    help="k for --sampler topk")
+parser.add_argument("--sampler-p", type=float, default=0.9,
+                    help="p for --sampler topp")
+parser.add_argument("--sampler-temperature", type=float, default=1.0,
+                    help="softmax temperature for multinomial/topk/topp")
 parser.add_argument("--bf16", action="store_true",
                     help="decode with bfloat16 params/activations (f32 score "
                          "accumulators) — ~1.3-1.7x on TPU; log-prob deltas "
@@ -140,8 +157,19 @@ def main():
         mesh = make_mesh(num_data=_A.num_data, num_model=1,
                          devices=devices[:_A.num_data])
     harness = DecodeHarness(params, model_cfg, family=_A.model, mesh=mesh)
+    sampler_spec = None
+    if _A.sampler:
+        sampler_spec = dict(method=_A.sampler, top_k=_A.sampler_k,
+                            top_p=_A.sampler_p,
+                            temperature=_A.sampler_temperature)
+        if _C.MODEL.USE_CBS:
+            print("--sampler: CBS constraints ignored (the reference's "
+                  "samplers exist only in the plain BeamSearch path, "
+                  "beam_search.py:88-295)")
     # the baseline is deterministic — z-samples would all be identical
-    n_z = 1 if _A.model == "baseline" else max(_C.MODEL.N_Z_SAMPLES, 1)
+    # (unless a stochastic sampler diversifies the token draws)
+    n_z = (max(_C.MODEL.N_Z_SAMPLES, 1)
+           if (_A.model != "baseline" or _A.sampler) else 1)
     key = jax.random.PRNGKey(_C.RANDOM_SEED + 7)
 
     predictions = []
@@ -171,7 +199,7 @@ def main():
         oae = jnp.asarray(obj_att_embeds) if obj_att_embeds is not None else None
         try:
             return _decode_one(_C, model_cfg, harness, batch, feats,
-                               sentiment, oae, k, n_z)
+                               sentiment, oae, k, n_z, sampler=sampler_spec)
         except Exception as e:
             print(f"image {int(batch['image_id'][0])}: CBS failed ({e}); "
                   "falling back to unconstrained beam search")
@@ -243,7 +271,8 @@ def main():
         if len(prepared) > 1:
             try:
                 kind_out = _dispatch_group(_C, model_cfg, harness, prepared,
-                                           k, n_z, staged=staged)
+                                           k, n_z, staged=staged,
+                                           sampler=sampler_spec)
                 cur = (start, prepared, kind_out)
             except Exception as e:  # trace/shape failures surface here
                 if pending is not None:
@@ -280,11 +309,13 @@ def main():
     print(f"wrote {len(predictions)} predictions to {_A.output_path}")
 
 
-def _dispatch_group(_C, model_cfg, harness, prepared, k, n_z, staged=None):
+def _dispatch_group(_C, model_cfg, harness, prepared, k, n_z, staged=None,
+                    sampler=None):
     """Issue ONE asynchronous device dispatch for a group of images (the
     reference forces bs=1, inference.py:95). Returns ``(kind, device_out)``
     for :func:`_collect_group`; ``staged`` carries pre-transferred device
-    arrays from the prefetch thread."""
+    arrays from the prefetch thread; ``sampler`` switches to the stochastic
+    sampler path (--sampler), bypassing CBS/beam."""
     import jax.numpy as jnp
     import numpy as np
 
@@ -299,6 +330,9 @@ def _dispatch_group(_C, model_cfg, harness, prepared, k, n_z, staged=None):
         obj_att_embeds = (None if oaes[0] is None
                           else jnp.asarray(np.concatenate(oaes)))
 
+    if sampler is not None:
+        return ("sample", harness.decode_sample(
+            feats, sentiment, obj_att_embeds, k, n_z, fetch=False, **sampler))
     if _C.MODEL.USE_CBS:
         tables = [list(b["fsm_tables"]) for b, _ in prepared]
         ncs = np.asarray([int(np.asarray(b["num_constraints"]).reshape(-1)[0])
@@ -326,6 +360,8 @@ def _collect_group(_C, model_cfg, kind_out, prepared, n_z):
     kind, out = kind_out
     out = jax.tree_util.tree_map(np.asarray, out)
     B = len(prepared)
+    if kind == "sample":
+        return [out[:, b, :] for b in range(B)]               # (n_z, T) each
     if kind == "cbs_simple":
         best, _ = out
         return [best[:, b, :] for b in range(B)]              # (n_z, T) each
@@ -358,11 +394,15 @@ def _decode_group(_C, model_cfg, harness, prepared, k, n_z, staged=None):
 
 
 def _decode_one(_C, model_cfg, harness, batch, feats, sentiment,
-                obj_att_embeds, k, n_z):
+                obj_att_embeds, k, n_z, sampler=None):
     import numpy as np
 
     from style_seqcvae_tpu.decoding.select import select_best_beam_with_constraints
 
+    if sampler is not None:
+        toks = harness.decode_sample(feats, sentiment, obj_att_embeds, k,
+                                     n_z, **sampler)
+        return toks[:, 0, :]                                  # (n_z, T)
     if _C.MODEL.USE_CBS:
         if model_cfg.cbs_simple:
             best, _ = harness.decode_cbs(

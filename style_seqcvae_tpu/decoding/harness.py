@@ -102,6 +102,9 @@ class DecodeHarness:
         self._jit_cbs = jax.jit(self._decode_cbs_impl,
                                 static_argnames=("n_z", "return_all"))
         self._jit_beam = jax.jit(self._decode_beam_impl, static_argnames=("n_z",))
+        self._jit_sample = jax.jit(
+            self._decode_sample_impl,
+            static_argnames=("n_z", "method", "top_k", "top_p", "temperature"))
 
     def _shard_decode_inputs(self, n_z, feats, sentiment, obj_att_embeds,
                              tables=None, nc=None, key=None):
@@ -231,6 +234,40 @@ class DecodeHarness:
         keys = jax.random.split(key, n_z)
         return jax.vmap(one_z)(keys)
 
+    # ---------------- stochastic sampler path ----------------
+    def _decode_sample_impl(self, params, feats, sentiment, obj_att_embeds,
+                            key, *, n_z: int, method: str, top_k: int,
+                            top_p: float, temperature: float):
+        cfg = self.cfg
+        step, init_state, start, _ = self._step_and_state(
+            params, feats, sentiment, obj_att_embeds)
+        one_z = _sampler_decode_one_z(step, start, init_state, cfg, method,
+                                      top_k, top_p, temperature)
+        keys = jax.random.split(key, n_z)
+        return jax.vmap(one_z)(keys)
+
+    def decode_sample(self, feats, sentiment, obj_att_embeds, key, n_z: int,
+                      method: str, top_k: int = 5, top_p: float = 0.9,
+                      temperature: float = 1.0, fetch: bool = True):
+        """Diverse decoding via the stochastic samplers
+        (scripts/inference.py --sampler): ``method`` in
+        {"multinomial", "topk", "topp", "gumbel"}. Returns (n_z, B, T)
+        token ids. Deterministic for a fixed ``key``."""
+        feats = jnp.asarray(feats)
+        sentiment = jnp.asarray(sentiment) if sentiment is not None else None
+        oae = (jnp.asarray(obj_att_embeds)
+               if obj_att_embeds is not None else None)
+        if self.mesh is not None:
+            feats, sentiment, oae, _, _, key = self._shard_decode_inputs(
+                n_z, feats, sentiment, oae, key=key)
+        out = self._jit_sample(self.params, feats, sentiment, oae, key,
+                               n_z=n_z, method=method, top_k=int(top_k),
+                               top_p=float(top_p),
+                               temperature=float(temperature))
+        if not fetch:
+            return out
+        return np.asarray(out)
+
     def decode_beam(self, feats, sentiment, obj_att_embeds, key, n_z: int,
                     fetch: bool = True):
         feats = jnp.asarray(feats)
@@ -245,6 +282,35 @@ class DecodeHarness:
         if not fetch:
             return out
         return jax.tree_util.tree_map(np.asarray, out)
+
+
+def _sampler_decode_one_z(step, start, init_state, cfg, method: str,
+                          top_k: int, top_p: float, temperature: float):
+    """Per-z decode fn for the stochastic samplers (the vendored AllenNLP
+    sampler classes, var_updown/.../beam_search.py:88-295, reachable from
+    the entry layer via scripts/inference.py --sampler)."""
+    from style_seqcvae_tpu.decoding.samplers import (
+        gumbel_beam_search, sample_decode)
+
+    if method == "gumbel":
+        def one_z(z_key):
+            seqs, phi = gumbel_beam_search(
+                step, start, init_state, z_key,
+                max_steps=cfg.max_caption_length, beam_size=cfg.beam_size,
+                end_index=cfg.boundary_index)
+            return seqs[:, 0, :]          # highest perturbed-score sample
+        return one_z
+
+    tk = top_k if method == "topk" else 0
+    tp = top_p if method == "topp" else 0.0
+
+    def one_z(z_key):
+        return sample_decode(
+            step, start, init_state, z_key,
+            max_steps=cfg.max_caption_length, end_index=cfg.boundary_index,
+            temperature=temperature, top_k=tk, top_p=tp)
+
+    return one_z
 
 
 def detokenize(token_ids, vocabulary, boundary_index: int) -> str:

@@ -377,3 +377,30 @@ def test_compare_meteor_jar_cli_without_jar(tmp_path):
         cwd=REPO, env=env, capture_output=True, text=True, timeout=120)
     assert proc.returncode != 0
     assert "meteor jar unavailable" in proc.stderr
+
+
+def test_inference_cli_samplers(cli_fixture):
+    """--sampler {topk,topp,gumbel}: the stochastic samplers are reachable
+    from the entry layer (reference sampler classes, var_updown
+    beam_search.py:88-295). Fixed RANDOM_SEED → identical captions across
+    runs; 3 images at --batch-images 2 exercises both the group dispatch
+    and the single-image tail."""
+    d = cli_fixture
+    runs = {}
+    for tag, extra in (
+            ("topk_a", ["--sampler", "topk", "--sampler-k", "3"]),
+            ("topk_b", ["--sampler", "topk", "--sampler-k", "3"]),
+            ("gumbel", ["--sampler", "gumbel"]),
+            ("topp", ["--sampler", "topp", "--sampler-p", "0.8",
+                      "--sampler-temperature", "1.2"])):
+        out = d / f"preds_s_{tag}.json"
+        _run(["scripts/inference.py", "--model", "cvae", "--cpu",
+              "--config", str(d / "cfg.yml"),
+              "--output-path", str(out), "--max-images", "3",
+              "--batch-images", "2",
+              "--config-override", "DATA.MAX_BOXES", "6",
+              "MODEL.N_Z_SAMPLES", "3"] + extra)
+        runs[tag] = json.load(open(out))
+        assert len(runs[tag]) == 9, tag
+        assert all("caption" in p and "image_id" in p for p in runs[tag])
+    assert runs["topk_a"] == runs["topk_b"]   # fixed-PRNGKey determinism
