@@ -807,9 +807,20 @@ def main():
     import jax
 
     # Persistent compile cache: the full decode program can take minutes to
-    # compile cold; cache makes driver re-runs cheap.
-    from style_seqcvae_tpu.utils.cache import enable_compile_cache
+    # compile cold; cache makes driver re-runs cheap. The GC pass keeps it
+    # bounded across rounds (environment-side key drift re-stores duplicate
+    # 24-28 MB entries; BASELINE.md round-3 notes) — report on stderr so
+    # stdout stays pure JSON lines.
+    import sys
+
+    from style_seqcvae_tpu.utils.cache import (
+        enable_compile_cache, prune_compile_cache)
     enable_compile_cache()
+    gc = prune_compile_cache()
+    if gc["dropped"]:
+        print(f"compile-cache GC: dropped {len(gc['dropped'])} entries "
+              f"({gc['dropped_bytes'] / 1e6:.0f} MB), kept "
+              f"{gc['kept_bytes'] / 1e6:.0f} MB", file=sys.stderr)
 
     baselines = {}
     try:

@@ -42,3 +42,83 @@ def enable_compile_cache(path: str | None = None) -> str:
     # 211 s every bench run" mystery, VERDICT r2 item 1).
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
     return path
+
+
+def prune_compile_cache(path: str | None = None,
+                        max_bytes: int = 250 * 1024 * 1024,
+                        dup_size_tol: float = 0.02,
+                        dry_run: bool = False) -> dict:
+    """Garbage-collect the persistent compile cache.
+
+    The environment-side cache KEY can drift between processes for the
+    byte-identical computation (same computation/jaxlib/flags hashes —
+    different tunnel backend instances; BASELINE.md round-3 notes), leaving
+    duplicate multi-MB entries that bloat the committed cache (measured
+    590 MB before a manual prune). Two passes:
+
+    1. **drift dedup** — entries sharing the jit name whose sizes agree
+       within ``dup_size_tol`` (2%) are treated as drifted keys of one
+       program; the newest survives, older duplicates drop. (Measured drift
+       pairs differ by 0.8-1.2%; same-name entries at genuinely different
+       shapes/buckets differ by far more.)
+    2. **size cap** — if the cache still exceeds ``max_bytes``, the oldest
+       entries drop (LRU by mtime) until it fits.
+
+    Dropping a live entry only costs a re-compile + re-store — safe by
+    construction. Returns a report dict; ``dry_run`` reports without
+    deleting. Called from ``bench.py`` so the cache stays bounded across
+    rounds without manual pruning."""
+    if path is None:
+        path = os.environ.get("SSC_JAX_CACHE") or os.path.abspath(
+            os.path.join(os.path.dirname(__file__), "..", "..", ".jax_cache"))
+    if not os.path.isdir(path):
+        return {"path": path, "dropped": [], "kept_bytes": 0,
+                "dropped_bytes": 0}
+
+    entries = []
+    for name in os.listdir(path):
+        full = os.path.join(path, name)
+        if not os.path.isfile(full):
+            continue
+        st = os.stat(full)
+        entries.append((name, st.st_size, st.st_mtime))
+
+    dropped = []
+
+    def drop(name, size, why):
+        dropped.append({"name": name, "bytes": size, "why": why})
+        if not dry_run:
+            try:
+                os.unlink(os.path.join(path, name))
+            except OSError:
+                pass
+
+    # pass 1: drift dedup within same-jit-name groups
+    groups: dict = {}
+    for name, size, mtime in entries:
+        prefix = name.rsplit("-", 2)[0] if name.endswith("-cache") else name
+        groups.setdefault(prefix, []).append((name, size, mtime))
+    kept = []
+    for prefix, group in groups.items():
+        group.sort(key=lambda e: -e[2])          # newest first
+        survivors: list = []
+        for name, size, mtime in group:
+            twin = next((s for s in survivors
+                         if abs(s[1] - size) <= dup_size_tol * max(s[1], size)),
+                        None)
+            if twin is not None:
+                drop(name, size, f"key-drift duplicate of {twin[0]}")
+            else:
+                survivors.append((name, size, mtime))
+        kept.extend(survivors)
+
+    # pass 2: LRU size cap
+    total = sum(size for _, size, _ in kept)
+    kept.sort(key=lambda e: e[2])                # oldest first
+    while total > max_bytes and kept:
+        name, size, _ = kept.pop(0)
+        drop(name, size, "size cap")
+        total -= size
+
+    return {"path": path, "dropped": dropped, "kept_bytes": total,
+            "dropped_bytes": sum(d["bytes"] for d in dropped)}

@@ -109,3 +109,45 @@ def test_decode_grid_shards_over_mesh():
     # equal to the unsharded result
     seqs2, lp2 = decode(params, feats, tables)
     np.testing.assert_array_equal(np.asarray(seqs), np.asarray(seqs2))
+
+
+def test_prune_compile_cache(tmp_path):
+    """Cache GC (utils/cache.py): key-drift duplicates (same jit name, size
+    within 2%) dedup keeping the newest; then an LRU size cap; dry_run
+    reports without deleting."""
+    import os
+    import time
+
+    from style_seqcvae_tpu.utils.cache import prune_compile_cache
+
+    d = tmp_path / "cache"
+    d.mkdir()
+
+    def mk(name, size, age):
+        p = d / name
+        p.write_bytes(b"x" * size)
+        t = time.time() - age
+        os.utime(p, (t, t))
+
+    # drift pair: same name-prefix, sizes 1% apart -> older dropped
+    mk("jit_decode_all-aaaa-cache", 1_000_000, age=100)
+    mk("jit_decode_all-bbbb-cache", 1_005_000, age=10)
+    # same name, very different size (different shape bucket) -> both kept
+    mk("jit_decode_all-cccc-cache", 2_000_000, age=50)
+    # unrelated entry
+    mk("jit_train-dddd-cache", 500_000, age=200)
+
+    r = prune_compile_cache(path=str(d), max_bytes=10**9, dry_run=True)
+    assert [x["name"] for x in r["dropped"]] == ["jit_decode_all-aaaa-cache"]
+    assert (d / "jit_decode_all-aaaa-cache").exists()   # dry run
+
+    r = prune_compile_cache(path=str(d), max_bytes=10**9)
+    assert not (d / "jit_decode_all-aaaa-cache").exists()
+    assert (d / "jit_decode_all-bbbb-cache").exists()
+    assert (d / "jit_decode_all-cccc-cache").exists()
+
+    # size cap: force a budget only big enough for the two newest survivors
+    r = prune_compile_cache(path=str(d), max_bytes=3_100_000)
+    names = {x["name"] for x in r["dropped"]}
+    assert "jit_train-dddd-cache" in names               # oldest LRU victim
+    assert r["kept_bytes"] <= 3_100_000
