@@ -58,7 +58,12 @@ def test_main_flagship_failure_keeps_headline_metric(monkeypatch, capsys):
           "pipelined_host_scoring": True}
     for name in ("bench_greedy", "bench_train_step", "bench_diverse_oracle",
                  "bench_e2e", "bench_serving_latency"):
-        monkeypatch.setattr(bench, name, lambda: dict(ok))
+        monkeypatch.setattr(bench, name, lambda **kw: dict(ok))
+    # the overlapped config-1 warm-up thread must not build the real
+    # full-dims program in a unit test
+    monkeypatch.setattr(
+        bench, "build_greedy_decode",
+        lambda *a, **k: ((lambda *x: (0, 0.0)), (0, 0, 0, 0)))
     monkeypatch.setattr(
         bench, "bench_tpu_cbs",
         lambda: (_ for _ in ()).throw(RuntimeError("tunnel down")))
