@@ -58,6 +58,14 @@ parser.add_argument("--canvas", type=int, nargs=2, default=None,
                          "programs regardless of image shapes. Default: "
                          "per-request 32-multiple canvas (recompiles per "
                          "unique shape; fine for one-off runs)")
+parser.add_argument("--batch-requests", type=int, default=1,
+                    help="serve B requests per device dispatch (the fused "
+                         "program is batch-agnostic): amortizes the "
+                         "dispatch floor and detector weight streaming "
+                         "across requests — higher throughput, one shared "
+                         "latency per group. Requires --canvas so grouped "
+                         "images share a compiled shape; the last group "
+                         "pads by repetition")
 
 
 def main():
@@ -210,8 +218,13 @@ def main():
         att_embed_table=att_embed_table,
         dtype="float32" if _A.f32 else "bfloat16")
 
-    sentiment = jnp.asarray([[float(_A.sentiment)]], np.float32)
-    predictions = []
+    B = max(_A.batch_requests, 1)
+    if B > 1 and not _A.canvas:
+        parser.error("--batch-requests > 1 requires --canvas (grouped "
+                     "images must share one compiled shape)")
+
+    # prepare all requests host-side, then group by canvas bucket
+    prepared = []
     for req, path in enumerate(_A.image):
         img = load_image_bgr(path)
         prepped, scale = prepare_image_np(
@@ -229,27 +242,53 @@ def main():
         else:
             # per-request canvas: pad to multiples of 32 for conv tiling
             ch, cw = -(-h // 32) * 32, -(-w // 32) * 32
-        canvas = np.zeros((1, ch, cw, 3), np.float32)
-        canvas[0, :h, :w] = prepped
-        info = jnp.asarray([[float(h), float(w), scale]], np.float32)
+        prepared.append((path, prepped, h, w, scale, (ch, cw)))
 
-        t0 = time.time()
-        best, lp, num_given, chk = serve(
-            det_params, cap_params, jnp.asarray(canvas), info, sentiment,
-            jax.random.PRNGKey(_C.RANDOM_SEED + req))
-        float(chk)   # sync (block_until_ready does not block on axon)
-        dt = time.time() - t0
+    groups = {}
+    for item in prepared:
+        groups.setdefault(item[5], []).append(item)
 
-        best, lp = np.asarray(best), np.asarray(lp)
-        caps = [detokenize(best[z, 0], vocabulary, cap_cfg.boundary_index)
-                for z in range(best.shape[0])]
-        order = np.argsort(-lp[:, 0])
-        print(f"[{path}] {dt * 1000:.1f} ms, "
-              f"{int(num_given[0])} constraints, {len(caps)} captions; "
-              f"best: {caps[int(order[0])]!r}")
-        predictions.append({"image_id": path,
-                            "caption": caps[int(order[0])],
-                            "candidates": [caps[int(i)] for i in order]})
+    predictions_by_path = {}
+    req_counter = 0
+    for (ch, cw), items in groups.items():
+        for start in range(0, len(items), B):
+            chunk = items[start:start + B]
+            n = len(chunk)
+            padded = chunk + [chunk[-1]] * (B - n)   # shape-stable last group
+            canvas = np.zeros((B, ch, cw, 3), np.float32)
+            info_np = np.zeros((B, 3), np.float32)
+            for i, (_, prepped, h, w, scale, _) in enumerate(padded):
+                canvas[i, :h, :w] = prepped
+                info_np[i] = (float(h), float(w), scale)
+            sentiment = jnp.asarray(
+                np.full((B, 1), float(_A.sentiment), np.float32))
+
+            t0 = time.time()
+            best, lp, num_given, chk = serve(
+                det_params, cap_params, jnp.asarray(canvas),
+                jnp.asarray(info_np), sentiment,
+                jax.random.PRNGKey(_C.RANDOM_SEED + req_counter))
+            float(chk)   # sync (block_until_ready does not block on axon)
+            dt = time.time() - t0
+            req_counter += 1
+
+            best, lp = np.asarray(best), np.asarray(lp)
+            for i in range(n):
+                path = chunk[i][0]
+                caps = [detokenize(best[z, i], vocabulary,
+                                   cap_cfg.boundary_index)
+                        for z in range(best.shape[0])]
+                order = np.argsort(-lp[:, i])
+                tag = f" (batch {n})" if B > 1 else ""
+                print(f"[{path}] {dt * 1000:.1f} ms{tag}, "
+                      f"{int(num_given[i])} constraints, {len(caps)} "
+                      f"captions; best: {caps[int(order[0])]!r}")
+                predictions_by_path[path] = {
+                    "image_id": path,
+                    "caption": caps[int(order[0])],
+                    "candidates": [caps[int(j)] for j in order]}
+    # emit in the original request order regardless of bucket grouping
+    predictions = [predictions_by_path[p[0]] for p in prepared]
 
     if _A.output:
         os.makedirs(os.path.dirname(os.path.abspath(_A.output)), exist_ok=True)

@@ -263,3 +263,40 @@ OPTIM:
     iters = [r["step"] for r in rows2]
     assert iters[-1] == 6 and 4 in iters  # continued at 4, not restarted at 1
     assert (ser / "checkpoint_6").exists()
+
+
+def test_serve_cli_batch_requests(pipeline):
+    """scripts/serve.py --batch-requests: B requests share one fused
+    dispatch; mixed orientations group by canvas bucket and a short last
+    group pads by repetition. Output order matches the request order."""
+    d = pipeline
+    (d / "attribs.tsv").write_text("red\tred\nblue\tblue\n")
+    (d / "attrib_names.json").write_text(json.dumps(["red", "blue"]))
+    out = _run(["scripts/serve.py", "--cpu", "--f32",
+                "--config", str(d / "cfg.yml"),
+                "--canvas", "96", "128", "--batch-requests", "2",
+                # landscape, portrait, landscape: the landscape bucket fills
+                # a full group of 2, the portrait group of 1 pads to 2
+                "--image", str(d / "i1.jpg"), str(d / "i2.jpg"),
+                str(d / "i1.jpg"),
+                "--attrib-names-json", str(d / "attrib_names.json"),
+                "--num-classes", "5",
+                "--output", str(d / "serve_preds_b2.json"),
+                "--config-override",
+                "DATA.CBS.WORDFORMS_ATTRIBS", str(d / "attribs.tsv"),
+                "DATA.MAX_BOXES", "8",
+                "MODEL.N_Z_SAMPLES", "2", "MODEL.BEAM_SIZE", "2",
+                "MODEL.USE_CBS", "True",
+                "MODEL.EMBEDDING_SIZE", "300",
+                "MODEL.STATE_MACHINE_PER_Z_SAMPLE", "True",
+                "DET.TEST.SCALES", "[96]", "DET.TEST.MAX_SIZE", "128",
+                "DET.TEST.RPN_PRE_NMS_TOP_N", "300",
+                "DET.TEST.RPN_POST_NMS_TOP_N", "50",
+                "DET.TEST.MAX_PER_IMAGE", "8"])
+    assert "(batch 2)" in out
+    preds = json.load(open(d / "serve_preds_b2.json"))
+    assert len(preds) == 3
+    assert [p["image_id"] for p in preds] == [
+        str(d / "i1.jpg"), str(d / "i2.jpg"), str(d / "i1.jpg")]
+    for p in preds:
+        assert isinstance(p["caption"], str) and len(p["candidates"]) == 2
