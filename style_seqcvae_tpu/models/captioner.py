@@ -266,7 +266,13 @@ def train_forward(params: Dict[str, Any], cfg: CaptionerConfig, batch: Dict[str,
     prior_log_var = jnp.log(prior_var)
 
     init_state = init_cell_state((B,), cfg.hidden_size, image_features.dtype)
-    step_keys = jax.random.split(rng, num_steps)
+    if jnp.issubdtype(jnp.asarray(rng).dtype, jnp.floating):
+        # precomputed per-step z-noise (T, ..., z) — sliced into cell_step's
+        # float-eps contract (updown_cell.py cell_step); lets parity tests
+        # share eps with a torch reference instead of statistical tolerance
+        step_keys = jnp.asarray(rng)
+    else:
+        step_keys = jax.random.split(rng, num_steps)
     input_tokens = tokens[:, :-1].T          # (T, B) scan xs
     token_embs = params["embedding"][input_tokens]  # (T, B, E) one gather
 
