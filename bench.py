@@ -848,17 +848,25 @@ def _finalize(rec, baselines):
         try:
             floor = measure_dispatch_floor()
             n_disp = rec.pop("n_dispatches", 1)
-            dev_secs = max(secs - n_disp * floor, 1e-9)
+            dev_secs = secs - n_disp * floor
             rec["dispatch_floor_ms"] = round(1000.0 * floor, 1)
-            rec["device_seconds"] = round(dev_secs, 4)
-            # device_value shadows `value` in the SAME unit so cross-round
-            # value-vs-device_value diffs isolate tunnel regressions: a
-            # latency metric (unit ms) gets device-only latency, throughput
-            # metrics get items/device-second.
-            if rec.get("unit") == "ms":
-                rec["device_value"] = round(1000.0 * dev_secs, 1)
+            if dev_secs <= 0:
+                # the whole dispatch fits under the measured tunnel floor —
+                # device time is unresolvable from this client (floor
+                # variance > device time); a clamped division would print
+                # a nonsense 1e11 "throughput"
+                rec["device_value"] = None
+                rec["device_note"] = "dispatch under tunnel floor"
             else:
-                rec["device_value"] = round(items / dev_secs, 2)
+                rec["device_seconds"] = round(dev_secs, 4)
+                # device_value shadows `value` in the SAME unit so
+                # cross-round value-vs-device_value diffs isolate tunnel
+                # regressions: a latency metric (unit ms) gets device-only
+                # latency, throughput metrics get items/device-second.
+                if rec.get("unit") == "ms":
+                    rec["device_value"] = round(1000.0 * dev_secs, 1)
+                else:
+                    rec["device_value"] = round(items / dev_secs, 2)
         except Exception:
             pass
     anchor = baselines.get(rec["metric"])
