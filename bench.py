@@ -385,7 +385,10 @@ def bench_train_step(batch=32, steps=5):
     return dict(metric="train_step_captions_per_sec_per_chip",
                 value=round(batch / bbest, 2), unit="captions/s",
                 config=2, items=batch, flops=train_flops(batch, SEQ, BOXES),
-                bytes=train_weight_stream(SEQ),
+                # the headlined recipe streams bf16 weights in fwd/bwd
+                # (itemsize 2); the f32 master-param read for the per-step
+                # cast adds ~1/6 more, ignored
+                bytes=train_weight_stream(SEQ, itemsize=2),
                 seconds=bbest, compile_s=compile_s,
                 n_dispatches=1.0 / K10,
                 recipe="chained10_bf16",
@@ -791,9 +794,15 @@ def bench_serving_latency(n_z=20, beam=5, steps=5):
     # request micro-batching curve (serve.py --batch-requests): the fused
     # program is batch-agnostic, so B requests share one dispatch — the
     # latency/throughput trade-off for B=2..8 (VERDICT r3 weak #3). Each B
-    # is its own compiled shape (persistent-cached across runs).
+    # is its own compiled shape (persistent-cached across runs) AND a
+    # Pallas-bearing executable that re-pays the remote Mosaic load per
+    # process (~30-100 s observed) — set SSC_BENCH_SERVING_BATCH=0 to skip
+    # the curve when only the single-request latency matters.
     batch_curve = {}
-    for B in (2, 4, 8):
+    curve_bs = ((2, 4, 8)
+                if os.environ.get("SSC_BENCH_SERVING_BATCH", "1") != "0"
+                else ())
+    for B in curve_bs:
         images_b = jnp.asarray(
             rng.rand(B, canvas_h, canvas_w, 3).astype(np.float32) * 255)
         info_b = jnp.asarray(np.tile([[600.0, 900.0, 1.5]], (B, 1)).astype(np.float32))
@@ -944,11 +953,27 @@ def main():
             rec = {"metric": fn.__name__, "error": repr(e)[:300]}
         print(json.dumps(rec), flush=True)
 
-    warm_thread.join()
-    try:
-        rec = _finalize(bench_greedy(prewarmed=prewarm), baselines)
-    except Exception as e:
-        rec = {"metric": "bench_greedy", "error": repr(e)[:300]}
+    # Bounded join: a stalled remote load (documented up to ~10 min; backend
+    # hangs up to ~23 min) must not hold the flagship line hostage — after
+    # the timeout config-1 reports the stall as an error and the bench moves
+    # on. A warm-up EXCEPTION is reported, then bench_greedy rebuilds fresh.
+    warm_thread.join(timeout=900)
+    if warm_thread.is_alive():
+        rec = {"metric": "greedy_captions_per_sec_per_chip", "value": None,
+               "unit": "captions/s", "config": 1,
+               "error": "config-1 warm-up still stalled after 900 s "
+                        "(environment-side executable-load variance)"}
+    else:
+        if "error" in prewarm:
+            print(f"config-1 overlapped warm-up failed "
+                  f"({prewarm['error']!r}); rebuilding serially",
+                  file=sys.stderr)
+        try:
+            rec = _finalize(bench_greedy(prewarmed=prewarm), baselines)
+            if "error" in prewarm:
+                rec["warm_error"] = repr(prewarm["error"])[:200]
+        except Exception as e:
+            rec = {"metric": "bench_greedy", "error": repr(e)[:300]}
     print(json.dumps(rec), flush=True)
     # The flagship prints LAST and drivers parse the final JSON line, so a
     # flagship failure must still leave a flagship-metric line (not let the
@@ -957,6 +982,15 @@ def main():
         rec = bench_tpu_cbs()
         rec.pop("_decode_fn", None)
         print(json.dumps(_finalize(rec, baselines)), flush=True)
+        # end-of-run GC: drift duplicates RE-STORED during this run (the
+        # environment-side key drift can land mid-run) must not survive
+        # into a committed cache snapshot
+        if jax.default_backend() != "cpu":
+            gc = prune_compile_cache()
+            if gc["dropped"]:
+                print(f"compile-cache GC (post-run): dropped "
+                      f"{len(gc['dropped'])} entries "
+                      f"({gc['dropped_bytes'] / 1e6:.0f} MB)", file=sys.stderr)
     except Exception as e:
         print(json.dumps({"metric": "cbs_beam5_captions_per_sec_per_chip",
                           "value": None, "unit": "captions/s", "config": 3,

@@ -201,7 +201,8 @@ def main():
             return _decode_one(_C, model_cfg, harness, batch, feats,
                                sentiment, oae, k, n_z, sampler=sampler_spec)
         except Exception as e:
-            print(f"image {int(batch['image_id'][0])}: CBS failed ({e}); "
+            what = ("sampler decode" if sampler_spec is not None else "CBS")
+            print(f"image {int(batch['image_id'][0])}: {what} failed ({e}); "
                   "falling back to unconstrained beam search")
             n_fallbacks += 1
             seqs, _ = harness.decode_beam(feats, sentiment, oae, k, n_z)

@@ -54,7 +54,7 @@ parser.add_argument("--seed", type=int, default=0)
 
 
 def _zipf_choice(rng, n, size=None):
-    """Skewed-but-flat draw over [0, n): p ~ (rank+2)^-0.4. A full 1/rank
+    """Skewed-but-flat draw over [0, n): p ~ (rank+2)^-0.3. A full 1/rank
     zipf would leave most of the 10k-word inventory under the vocab count
     threshold (measured: 2,090 surviving words); exponent 0.3 keeps a
     realistic head-heavy shape while ~all words clear count >= 5, matching

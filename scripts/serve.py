@@ -242,13 +242,15 @@ def main():
         else:
             # per-request canvas: pad to multiples of 32 for conv tiling
             ch, cw = -(-h // 32) * 32, -(-w // 32) * 32
-        prepared.append((path, prepped, h, w, scale, (ch, cw)))
+        prepared.append((req, path, prepped, h, w, scale, (ch, cw)))
 
     groups = {}
     for item in prepared:
-        groups.setdefault(item[5], []).append(item)
+        groups.setdefault(item[6], []).append(item)
 
-    predictions_by_path = {}
+    # keyed by request INDEX, not path: the same path may be requested
+    # twice (different groups/PRNG keys) and each position keeps its own
+    predictions_by_idx = {}
     req_counter = 0
     for (ch, cw), items in groups.items():
         for start in range(0, len(items), B):
@@ -257,7 +259,7 @@ def main():
             padded = chunk + [chunk[-1]] * (B - n)   # shape-stable last group
             canvas = np.zeros((B, ch, cw, 3), np.float32)
             info_np = np.zeros((B, 3), np.float32)
-            for i, (_, prepped, h, w, scale, _) in enumerate(padded):
+            for i, (_, _, prepped, h, w, scale, _) in enumerate(padded):
                 canvas[i, :h, :w] = prepped
                 info_np[i] = (float(h), float(w), scale)
             sentiment = jnp.asarray(
@@ -274,7 +276,7 @@ def main():
 
             best, lp = np.asarray(best), np.asarray(lp)
             for i in range(n):
-                path = chunk[i][0]
+                ridx, path = chunk[i][0], chunk[i][1]
                 caps = [detokenize(best[z, i], vocabulary,
                                    cap_cfg.boundary_index)
                         for z in range(best.shape[0])]
@@ -283,12 +285,12 @@ def main():
                 print(f"[{path}] {dt * 1000:.1f} ms{tag}, "
                       f"{int(num_given[i])} constraints, {len(caps)} "
                       f"captions; best: {caps[int(order[0])]!r}")
-                predictions_by_path[path] = {
+                predictions_by_idx[ridx] = {
                     "image_id": path,
                     "caption": caps[int(order[0])],
                     "candidates": [caps[int(j)] for j in order]}
     # emit in the original request order regardless of bucket grouping
-    predictions = [predictions_by_path[p[0]] for p in prepared]
+    predictions = [predictions_by_idx[i] for i in range(len(prepared))]
 
     if _A.output:
         os.makedirs(os.path.dirname(os.path.abspath(_A.output)), exist_ok=True)

@@ -149,6 +149,12 @@ def main():
         print("--device-corpus: mode-2 latent dictionaries need per-item "
               "obj_atts — falling back to the host feature path")
         device_corpus = False
+    if device_corpus and jax.process_count() > 1:
+        # the replicated table device_put would address non-local devices
+        # (eager device_put on non-addressable global arrays raises)
+        print("--device-corpus: multi-process runs feed per-process local "
+              "shards — falling back to the host feature path")
+        device_corpus = False
     feats_dev, feat_row_of = None, None
     if device_corpus:
         from jax.sharding import NamedSharding, PartitionSpec

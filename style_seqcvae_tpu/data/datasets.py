@@ -252,8 +252,14 @@ class TrainingDataset:
             break
         table = np.zeros((len(row_of), self._max_boxes, feats0.shape[-1]),
                          np.float32)
+        written = set()
         for r in readers:
             for iid in r.image_ids:
+                if iid in written:
+                    # ids in BOTH files keep the train reader's features —
+                    # __getitem__'s precedence (valid only on KeyError)
+                    continue
+                written.add(iid)
                 f, _ = r[iid]
                 n = min(f.shape[0], self._max_boxes)
                 table[row_of[iid], :n] = f[:n]

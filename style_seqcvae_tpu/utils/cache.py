@@ -45,7 +45,7 @@ def enable_compile_cache(path: str | None = None) -> str:
 
 
 def prune_compile_cache(path: str | None = None,
-                        max_bytes: int = 250 * 1024 * 1024,
+                        max_bytes: int = 400 * 1024 * 1024,
                         dup_size_tol: float = 0.02,
                         dry_run: bool = False) -> dict:
     """Garbage-collect the persistent compile cache.
@@ -61,13 +61,21 @@ def prune_compile_cache(path: str | None = None,
        program; the newest survives, older duplicates drop. (Measured drift
        pairs differ by 0.8-1.2%; same-name entries at genuinely different
        shapes/buckets differ by far more.)
-    2. **size cap** — if the cache still exceeds ``max_bytes``, the oldest
-       entries drop (LRU by mtime) until it fits.
+    2. **size cap** — if the cache still exceeds ``max_bytes`` (default
+       400 MB — generous headroom over the ~250 MB working set; the cap
+       guards unbounded accretion, not a tight budget), the oldest-STORED
+       entries drop until it fits, EXCEPT the newest entry of every
+       jit-name group: cache hits never touch mtime, so "oldest mtime"
+       means oldest-stored (possibly still-hot), and keeping one entry per
+       program family bounds the worst case at one shape-variant recompile
+       rather than a whole program family.
 
     Dropping a live entry only costs a re-compile + re-store — safe by
     construction. Returns a report dict; ``dry_run`` reports without
-    deleting. Called from ``bench.py`` so the cache stays bounded across
-    rounds without manual pruning."""
+    deleting. Called from ``bench.py`` (start AND end of the run, so
+    drift duplicates re-stored mid-run don't survive into committed
+    snapshots) — the cache stays bounded across rounds without manual
+    pruning."""
     if path is None:
         path = os.environ.get("SSC_JAX_CACHE") or os.path.abspath(
             os.path.join(os.path.dirname(__file__), "..", "..", ".jax_cache"))
@@ -99,8 +107,10 @@ def prune_compile_cache(path: str | None = None,
         prefix = name.rsplit("-", 2)[0] if name.endswith("-cache") else name
         groups.setdefault(prefix, []).append((name, size, mtime))
     kept = []
+    group_newest: dict = {}
     for prefix, group in groups.items():
         group.sort(key=lambda e: -e[2])          # newest first
+        group_newest[prefix] = group[0][0]
         survivors: list = []
         for name, size, mtime in group:
             twin = next((s for s in survivors
@@ -112,11 +122,13 @@ def prune_compile_cache(path: str | None = None,
                 survivors.append((name, size, mtime))
         kept.extend(survivors)
 
-    # pass 2: LRU size cap
+    # pass 2: size cap — oldest-stored first, sparing each group's newest
+    protected = set(group_newest.values())
     total = sum(size for _, size, _ in kept)
-    kept.sort(key=lambda e: e[2])                # oldest first
-    while total > max_bytes and kept:
-        name, size, _ = kept.pop(0)
+    evictable = sorted((e for e in kept if e[0] not in protected),
+                       key=lambda e: e[2])       # oldest first
+    while total > max_bytes and evictable:
+        name, size, _ = evictable.pop(0)
         drop(name, size, "size cap")
         total -= size
 

@@ -146,8 +146,12 @@ def test_prune_compile_cache(tmp_path):
     assert (d / "jit_decode_all-bbbb-cache").exists()
     assert (d / "jit_decode_all-cccc-cache").exists()
 
-    # size cap: force a budget only big enough for the two newest survivors
+    # size cap: each group's NEWEST entry is protected (cache hits never
+    # bump mtime, so "oldest" means oldest-STORED — evicting a group's only
+    # entry would drop a possibly-hot program family); the older
+    # shape-variant (cccc) is the only evictable entry
     r = prune_compile_cache(path=str(d), max_bytes=3_100_000)
     names = {x["name"] for x in r["dropped"]}
-    assert "jit_train-dddd-cache" in names               # oldest LRU victim
+    assert names == {"jit_decode_all-cccc-cache"}
+    assert (d / "jit_train-dddd-cache").exists()         # group-newest kept
     assert r["kept_bytes"] <= 3_100_000
