@@ -31,8 +31,20 @@ import numpy as np
 parser = argparse.ArgumentParser(description=__doc__)
 parser.add_argument("--config", required=True)
 parser.add_argument("--config-override", nargs="*", default=[])
-parser.add_argument("--image", nargs="+", required=True,
-                    help="image file(s); each is served as one request")
+parser.add_argument("--image", nargs="+", default=[],
+                    help="image file(s); each is served as one request "
+                         "(batch mode — not needed with --http)")
+parser.add_argument("--http", type=int, default=None, metavar="PORT",
+                    help="run an HTTP server instead of batch mode: "
+                         "POST /caption with raw image bytes (optional "
+                         "?sentiment=±1) → JSON {caption, candidates}; "
+                         "GET /healthz. Port 0 picks a free port (printed). "
+                         "Requests micro-batch up to --batch-requests per "
+                         "fused dispatch within --batch-wait-ms. Requires "
+                         "--canvas (shared compiled shapes)")
+parser.add_argument("--batch-wait-ms", type=float, default=10.0,
+                    help="HTTP mode: how long the batcher waits to fill a "
+                         "group before dispatching a partial one")
 parser.add_argument("--checkpoint-path", default="",
                     help="captioner Orbax checkpoint dir")
 parser.add_argument("--checkpoint-name", default="checkpoint_best")
@@ -74,6 +86,11 @@ def main():
         parser.error(
             "--det-checkpoint-path requires --det-checkpoint-name "
             "(detector checkpoints are saved as e.g. detector_epoch_N)")
+    if _A.http is None and not _A.image:
+        parser.error("either --image files or --http PORT is required")
+    if _A.http is not None and not _A.canvas:
+        parser.error("--http requires --canvas (the server pins at most "
+                     "two compiled program shapes across request sizes)")
     import jax
 
     if _A.cpu:
@@ -218,6 +235,11 @@ def main():
         att_embed_table=att_embed_table,
         dtype="float32" if _A.f32 else "bfloat16")
 
+    if _A.http is not None:
+        _run_http_server(_A, D, serve, det_params, cap_params, vocabulary,
+                         cap_cfg)
+        return
+
     B = max(_A.batch_requests, 1)
     if B > 1 and not _A.canvas:
         parser.error("--batch-requests > 1 requires --canvas (grouped "
@@ -297,6 +319,158 @@ def main():
         with open(_A.output, "w") as f:
             json.dump(predictions, f, indent=2)
         print(f"wrote {len(predictions)} predictions to {_A.output}")
+
+
+def _run_http_server(_A, D, serve, det_params, cap_params, vocabulary,
+                     cap_cfg):
+    """Online serving: a stdlib HTTP front-end over the fused single-program
+    path with dynamic request micro-batching — the deployment story the
+    reference (3 processes + 2 file handoffs, bs=1) has no analogue for.
+
+    One batcher thread owns the device: it drains up to ``--batch-requests``
+    same-canvas-bucket requests within ``--batch-wait-ms`` and serves the
+    group as ONE fused dispatch (groups pad by repetition so at most
+    2 × len({buckets}) program shapes ever compile); handler threads block
+    on a per-request event. POST /caption (raw image bytes, optional
+    ``?sentiment=±1``) → JSON; GET /healthz → liveness."""
+    import io
+    import itertools
+    import queue
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    import jax
+    import jax.numpy as jnp
+
+    from style_seqcvae_tpu.data.detection import canvas_for, prepare_image_np
+    from style_seqcvae_tpu.decoding.harness import detokenize
+
+    B = max(_A.batch_requests, 1)
+    wait_s = max(_A.batch_wait_ms, 0.0) / 1000.0
+    req_q: "queue.Queue" = queue.Queue()
+    counter = itertools.count()
+
+    def prep(img_bgr):
+        prepped, scale = prepare_image_np(img_bgr, D.TEST.SCALES[0],
+                                          D.TEST.MAX_SIZE)
+        h, w = prepped.shape[:2]
+        ch, cw = canvas_for({"height": h, "width": w}, tuple(_A.canvas))
+        if h > ch or w > cw:
+            raise ValueError(
+                f"image prepped to {h}x{w} exceeds --canvas {ch}x{cw}")
+        return prepped, (h, w, scale), (ch, cw)
+
+    def batcher():
+        pending = []
+        while True:
+            group = [pending.pop(0)] if pending else [req_q.get()]
+            bucket = group[0]["bucket"]
+            deadline = time.time() + wait_s
+            i = 0
+            while len(group) < B and i < len(pending):
+                if pending[i]["bucket"] == bucket:
+                    group.append(pending.pop(i))
+                else:
+                    i += 1
+            while len(group) < B:
+                t = deadline - time.time()
+                if t <= 0:
+                    break
+                try:
+                    item = req_q.get(timeout=t)
+                except queue.Empty:
+                    break
+                if item["bucket"] == bucket:
+                    group.append(item)
+                else:
+                    pending.append(item)
+            n = len(group)
+            padded = group + [group[-1]] * (B - n)
+            ch, cw = bucket
+            canvas = np.zeros((B, ch, cw, 3), np.float32)
+            info = np.zeros((B, 3), np.float32)
+            for i, it in enumerate(padded):
+                h, w, scale = it["info"]
+                canvas[i, :h, :w] = it["prepped"]
+                info[i] = (float(h), float(w), scale)
+            sent = np.asarray([[it["sentiment"]] for it in padded],
+                              np.float32)
+            t0 = time.time()
+            try:
+                best, lp, num_given, chk = serve(
+                    det_params, cap_params, jnp.asarray(canvas),
+                    jnp.asarray(info), jnp.asarray(sent),
+                    jax.random.PRNGKey(next(counter)))
+                float(chk)   # sync (block_until_ready lies on axon)
+                best, lp = np.asarray(best), np.asarray(lp)
+                dt_ms = round((time.time() - t0) * 1000, 1)
+                for i, it in enumerate(group):
+                    caps = [detokenize(best[z, i], vocabulary,
+                                       cap_cfg.boundary_index)
+                            for z in range(best.shape[0])]
+                    order = np.argsort(-lp[:, i])
+                    it["out"] = {"caption": caps[int(order[0])],
+                                 "candidates": [caps[int(j)] for j in order],
+                                 "num_constraints": int(num_given[i]),
+                                 "batch": n, "latency_ms": dt_ms}
+                    it["event"].set()
+            except Exception as e:   # report to every waiter, keep serving
+                for it in group:
+                    it["error"] = f"{type(e).__name__}: {e}"
+                    it["event"].set()
+
+    threading.Thread(target=batcher, daemon=True).start()
+    default_sentiment = float(_A.sentiment)
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *args):   # quiet access log
+            pass
+
+        def _send(self, code, obj):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path.startswith("/healthz"):
+                return self._send(200, {"ok": True})
+            return self._send(404, {"error": "not found"})
+
+        def do_POST(self):
+            if not self.path.startswith("/caption"):
+                return self._send(404, {"error": "not found"})
+            try:
+                from urllib.parse import parse_qs, urlparse
+
+                q = parse_qs(urlparse(self.path).query)
+                sentiment = float(q.get("sentiment", [default_sentiment])[0])
+                length = int(self.headers.get("Content-Length", 0))
+                data = self.rfile.read(length)
+                from PIL import Image
+
+                img = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"),
+                                 np.float32)[:, :, ::-1]
+                prepped, hw, bucket = prep(img)
+            except Exception as e:
+                return self._send(400, {"error": f"bad request: {e}"})
+            item = {"prepped": prepped, "info": hw, "bucket": bucket,
+                    "sentiment": sentiment, "event": threading.Event(),
+                    "out": None}
+            req_q.put(item)
+            if not item["event"].wait(timeout=600):
+                return self._send(504, {"error": "decode timed out"})
+            if item.get("error"):
+                return self._send(500, {"error": item["error"]})
+            return self._send(200, item["out"])
+
+    srv = ThreadingHTTPServer(("127.0.0.1", _A.http), Handler)
+    print(f"serving on http://127.0.0.1:{srv.server_address[1]} "
+          f"(POST /caption; batch {B} x {_A.batch_wait_ms} ms window)",
+          flush=True)
+    srv.serve_forever()
 
 
 if __name__ == "__main__":

@@ -10,6 +10,7 @@ import json
 import os
 import pickle
 import subprocess
+import time
 import sys
 
 import numpy as np
@@ -300,3 +301,78 @@ def test_serve_cli_batch_requests(pipeline):
         str(d / "i1.jpg"), str(d / "i2.jpg"), str(d / "i1.jpg")]
     for p in preds:
         assert isinstance(p["caption"], str) and len(p["candidates"]) == 2
+
+
+def test_serve_cli_http_mode(pipeline):
+    """scripts/serve.py --http: online serving over the fused program with
+    dynamic micro-batching — two concurrent POSTs land in one batched
+    dispatch; /healthz answers; responses carry captions + candidates."""
+    import threading
+    import urllib.request
+
+    d = pipeline
+    (d / "attribs.tsv").write_text("red\tred\nblue\tblue\n")
+    (d / "attrib_names.json").write_text(json.dumps(["red", "blue"]))
+    args = [sys.executable, "scripts/serve.py", "--cpu", "--f32",
+            "--config", str(d / "cfg.yml"),
+            "--canvas", "96", "128", "--http", "0",
+            "--batch-requests", "2", "--batch-wait-ms", "3000",
+            "--attrib-names-json", str(d / "attrib_names.json"),
+            "--num-classes", "5",
+            "--config-override",
+            "DATA.CBS.WORDFORMS_ATTRIBS", str(d / "attribs.tsv"),
+            "DATA.MAX_BOXES", "8",
+            "MODEL.N_Z_SAMPLES", "2", "MODEL.BEAM_SIZE", "2",
+            "MODEL.USE_CBS", "True",
+            "MODEL.EMBEDDING_SIZE", "300",
+            "MODEL.STATE_MACHINE_PER_Z_SAMPLE", "True",
+            "DET.TEST.SCALES", "[96]", "DET.TEST.MAX_SIZE", "128",
+            "DET.TEST.RPN_PRE_NMS_TOP_N", "300",
+            "DET.TEST.RPN_POST_NMS_TOP_N", "50",
+            "DET.TEST.MAX_PER_IMAGE", "8"]
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    proc = subprocess.Popen(args, cwd=REPO, env=env, stdout=subprocess.PIPE,
+                            stderr=subprocess.STDOUT, text=True)
+    try:
+        port = None
+        deadline = time.time() + 300
+        while time.time() < deadline:
+            line = proc.stdout.readline()
+            if not line and proc.poll() is not None:
+                raise AssertionError("server exited before startup")
+            if "serving on http://" in line:
+                port = int(line.split(":")[2].split()[0].strip("/"))
+                break
+        assert port, "server never announced its port"
+
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/healthz", timeout=60) as r:
+            assert json.loads(r.read())["ok"] is True
+
+        img_bytes = open(d / "i1.jpg", "rb").read()
+        results = [None, None]
+
+        def post(i, senti):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/caption?sentiment={senti}",
+                data=img_bytes, method="POST")
+            with urllib.request.urlopen(req, timeout=540) as r:
+                results[i] = json.loads(r.read())
+
+        # two concurrent requests inside one 3 s batch window → one
+        # batched dispatch (first compile dominates the wait)
+        threads = [threading.Thread(target=post, args=(i, s))
+                   for i, s in ((0, 1.0), (1, -1.0))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=560)
+        assert all(r is not None for r in results), results
+        for r in results:
+            assert isinstance(r["caption"], str)
+            assert len(r["candidates"]) == 2          # one per z-sample
+            assert r["num_constraints"] >= 0
+        assert {r["batch"] for r in results} == {2}   # batched together
+    finally:
+        proc.terminate()
+        proc.wait(timeout=30)
