@@ -49,11 +49,22 @@ def init_bottleneck(key, in_ch, planes, stride, dtype=jnp.float32) -> Dict[str, 
     return p
 
 
+# Caffe-convention inputs are PIXEL-scale (mean-subtracted BGR, std ≈ 60-70
+# on natural images) and the frozen-BN trunk never normalizes them.
+# Pretrained weights absorb that scale; a from-scratch He-init conv1 does
+# not, so random-init activations start ~70x too large (measured on the
+# synthetic detection corpus: trunk std 92, RPN logit absmax 60, rcnn CE 16
+# at init) and training diverges at any practical lr. Folding the input std
+# into conv1's RANDOM init fixes from-scratch training and is irrelevant to
+# the pretrained-import path (init is overwritten).
+_INPUT_PIXEL_STD = 57.6
+
+
 def init_resnet(key, depth: int = 101, dtype=jnp.float32) -> Dict[str, Any]:
     blocks = LAYERS[depth]
     keys = jax.random.split(key, 5)
     params: Dict[str, Any] = {
-        "conv1": _conv_init(keys[0], (7, 7, 3, 64), dtype),
+        "conv1": _conv_init(keys[0], (7, 7, 3, 64), dtype) / _INPUT_PIXEL_STD,
         "bn1": _bn_init(64, dtype),
     }
     in_ch = 64

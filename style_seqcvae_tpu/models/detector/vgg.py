@@ -28,6 +28,13 @@ def init_vgg16(key, dtype=jnp.float32) -> Dict[str, Any]:
         for _ in range(n):
             fan_in = 3 * 3 * in_ch
             std = jnp.sqrt(2.0 / fan_in)
+            if ki == 0:
+                # fold the caffe pixel-scale input std into the first
+                # conv's random init (see resnet._INPUT_PIXEL_STD)
+                from style_seqcvae_tpu.models.detector.resnet import (
+                    _INPUT_PIXEL_STD)
+
+                std = std / _INPUT_PIXEL_STD
             params["convs"].append({
                 "w": jax.random.normal(keys[ki], (3, 3, in_ch, out_ch), dtype) * std,
                 "b": jnp.zeros((out_ch,), dtype)})
