@@ -285,3 +285,27 @@ def test_detector_train_forward_cb_loss_types():
         l, g = jax.value_and_grad(loss_fn)(params)
         assert np.isfinite(float(l)), lt
         assert float(jnp.max(jnp.abs(g["cls_score_atts"]["w"]))) > 0, lt
+
+
+def test_from_scratch_init_activation_scale():
+    """Regression (round 4): the caffe-convention trunk feeds pixel-scale
+    inputs (std ~60-70) that frozen BN never normalizes; a plain He-init
+    first conv left random-init activations ~70x too large (trunk std 92,
+    RPN logits saturated at |60|) and from-scratch training diverged to NaN
+    within 10 steps. conv1's random init folds in the input std — trunk
+    activations on pixel-scale input must come out O(1)."""
+    from style_seqcvae_tpu.models.detector import resnet, vgg
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32) * 255.0
+                    - np.array([102.98, 115.95, 122.77], np.float32))
+
+    params = resnet.init_resnet(jax.random.PRNGKey(0), depth=50)
+    feat = resnet.backbone(params, x)
+    std = float(jnp.std(feat))
+    assert 0.05 < std < 8.0, f"resnet trunk std {std} not O(1)"
+
+    vparams = vgg.init_vgg16(jax.random.PRNGKey(1))
+    vfeat = vgg.backbone(vparams, x)
+    vstd = float(jnp.std(vfeat))
+    assert 0.01 < vstd < 8.0, f"vgg trunk std {vstd} not O(1)"
