@@ -404,3 +404,41 @@ def test_inference_cli_samplers(cli_fixture):
         assert len(runs[tag]) == 9, tag
         assert all("caption" in p and "image_id" in p for p in runs[tag])
     assert runs["topk_a"] == runs["topk_b"]   # fixed-PRNGKey determinism
+
+
+def test_train_cli_device_corpus_equivalence(cli_fixture):
+    """--device-corpus (HBM-resident table + in-step index gather) must
+    produce the same final checkpoint as the host feature path through the
+    CLI — same seed, same shuffle order, same math — including composed
+    with --num-data 2 DP sharding of the feat_idx batches."""
+    d = cli_fixture
+    sers = []
+    for tag, extra, flags in (
+            ("host", [], None),
+            ("corpus", ["--device-corpus"], None),
+            ("corpus_dp2", ["--device-corpus", "--num-data", "2"],
+             "--xla_force_host_platform_device_count=2")):
+        ser = d / f"ckpt_dc_{tag}"
+        _run(["scripts/train.py", "--model", "cvae", "--cpu",
+              "--config", str(d / "cfg.yml"),
+              "--serialization-dir", str(ser),
+              "--max-iterations", "15", "--checkpoint-every", "15",
+              "--config-override", "PRINT_EVERY_N_BATCHES", "5",
+              "DATA.MAX_BOXES", "6", "MODEL.LSTM_DROPOUT", "0.0"] + extra,
+             xla_flags=flags)
+        rows = [json.loads(l) for l in open(ser / "metrics.jsonl")]
+        assert rows[-1]["loss"] < rows[0]["loss"], tag
+        sers.append(ser)
+
+    import jax
+    import orbax.checkpoint as ocp
+
+    ck = ocp.StandardCheckpointer()
+    ref = ck.restore(str(sers[0] / "checkpoint_15"))
+    for ser in sers[1:]:
+        got = ck.restore(str(ser / "checkpoint_15"))
+        la, lb = (jax.tree_util.tree_leaves(t["params"]) for t in (ref, got))
+        assert la and len(la) == len(lb)
+        for xa, xb in zip(la, lb):
+            np.testing.assert_allclose(np.asarray(xb), np.asarray(xa),
+                                       rtol=1e-5, atol=1e-6)
