@@ -442,3 +442,39 @@ def test_train_cli_device_corpus_equivalence(cli_fixture):
         for xa, xb in zip(la, lb):
             np.testing.assert_allclose(np.asarray(xb), np.asarray(xa),
                                        rtol=1e-5, atol=1e-6)
+
+
+def test_train_cli_tensor_parallel(cli_fixture):
+    """--num-data 2 --num-model 2 (DP x TP: vocab-facing matrices + fused
+    LSTM gates sharded over the model axis) through the train CLI on a 2x2
+    virtual mesh: loss decreases and the final checkpoint matches the
+    unsharded run (collective-order tolerance)."""
+    d = cli_fixture
+    sers = []
+    for tag, extra, flags in (
+            ("tp_ref", [], None),
+            ("tp_2x2", ["--num-data", "2", "--num-model", "2"],
+             "--xla_force_host_platform_device_count=4")):
+        ser = d / f"ckpt_{tag}"
+        _run(["scripts/train.py", "--model", "cvae", "--cpu",
+              "--config", str(d / "cfg.yml"),
+              "--serialization-dir", str(ser),
+              "--max-iterations", "12", "--checkpoint-every", "12",
+              "--config-override", "PRINT_EVERY_N_BATCHES", "4",
+              "DATA.MAX_BOXES", "6", "MODEL.LSTM_DROPOUT", "0.0"] + extra,
+             xla_flags=flags)
+        rows = [json.loads(l) for l in open(ser / "metrics.jsonl")]
+        assert rows[-1]["loss"] < rows[0]["loss"], tag
+        sers.append(ser)
+
+    import jax
+    import orbax.checkpoint as ocp
+
+    ck = ocp.StandardCheckpointer()
+    a = ck.restore(str(sers[0] / "checkpoint_12"))
+    b = ck.restore(str(sers[1] / "checkpoint_12"))
+    la, lb = (jax.tree_util.tree_leaves(t["params"]) for t in (a, b))
+    assert la and len(la) == len(lb)
+    for xa, xb in zip(la, lb):
+        np.testing.assert_allclose(np.asarray(xb), np.asarray(xa),
+                                   rtol=1e-4, atol=1e-5)
