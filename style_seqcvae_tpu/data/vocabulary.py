@@ -101,13 +101,23 @@ def build_caption_vocabulary(
     var_updown/scripts/build_vocabulary.py:55-106: COCO tokens at count ≥ 5
     plus Senticap tokens whose combined (COCO+Senticap) count ≥ 2; specials
     first, rest sorted.
+
+    Known divergence (deliberate): the reference gates Senticap words on the
+    senticap image id being in a set built from caption ANNOTATION ids
+    (build_vocabulary.py:69 ``image_ids.add(item["id"])`` vs the
+    ``senti_coco_id`` filename parse at :82) — an annotation-id/image-id
+    confusion that only "works" on real COCO because the two id ranges
+    happen to overlap; on any corpus where they don't, every sentiment word
+    silently drops out of the vocabulary (this bit round 4's synthetic 70k
+    run: its decodes could never emit a sentiment token). We gate on the
+    true ``image_id``, the evident intent.
     """
     from style_seqcvae_tpu.data.tokenizer import tokenize_caption
 
     word_counts: Dict[str, int] = {}
     image_ids = set()
     for item in coco_annotations:
-        image_ids.add(item["id"])
+        image_ids.add(item["image_id"])
         for token in tokenize_caption(item["caption"]):
             word_counts[token] = word_counts.get(token, 0) + 1
 

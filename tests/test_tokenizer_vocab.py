@@ -59,3 +59,22 @@ def test_build_caption_vocabulary_thresholds():
     assert "zebra" in tokens
     # "rare": 1 < 5 and not in senticap → excluded; "lovely": 1 < 2 → excluded
     assert "rare" not in tokens and "lovely" not in tokens
+
+
+def test_build_caption_vocabulary_gates_on_image_id_not_annotation_id():
+    """Regression for the reference's annotation-id/image-id confusion
+    (build_vocabulary.py:69 vs :82, documented divergence): senticap words
+    must survive when image ids and annotation ids live in DISJOINT ranges
+    (as in every synthetic corpus here — round 4's 70k run lost all
+    sentiment words to this and its decodes could never emit one)."""
+    coco = [{"id": i + 1, "image_id": 100001, "caption": "a dog runs fast"}
+            for i in range(5)]
+    senti = [{
+        "filename": "COCO_train2014_000000100001.jpg",
+        "split": "train",
+        "sentences": [{"raw": "lovely dog", "sentiment": 1},
+                      {"raw": "lovely pup", "sentiment": 1}],
+    }]
+    tokens = build_caption_vocabulary(coco, senti, word_count_threshold=5,
+                                      senticap_word_count_threshold=2)
+    assert "lovely" in tokens
