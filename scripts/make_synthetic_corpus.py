@@ -188,6 +188,8 @@ MODEL:
   ATTENTION_PROJECTION_SIZE: 768
   Z_SPACE: 150
   SENTIMENT_VAE: 1
+  SIMPLE_VAE: false
+  SENTI_PRIOR_MULTIP: 0.5
   KLD_WEIGHT: 750
   PRIOR_STD: 1.0
   N_Z_SAMPLES: 20

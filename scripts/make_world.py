@@ -418,9 +418,20 @@ def main():
     with open(os.path.join(out, "wordforms_objects.tsv"), "w") as f:
         for s in SHAPES:
             f.write(f"{s}\t{s},{s}s\n")
+    # attribute TSV with pos/neg rows merged — the reference ships ONE
+    # merged constraint_wordforms_attrib_senti.tsv as WORDFORMS_ATTRIBS so
+    # cbs_simple sentiment constraints resolve (constraints.py:298-327)
     with open(os.path.join(out, "wordforms_attribs.tsv"), "w") as f:
         for a in ATTRS:
             f.write(f"{a}\t{a}\n")
+        f.write("pos\t" + ",".join(POS_WORDS) + "\n")
+        f.write("neg\t" + ",".join(NEG_WORDS) + "\n")
+
+    # flat Open-Images-style class hierarchy for the CBS constraint filter
+    # (constraints.py:155-209 walks LabelName/Subcategory)
+    with open(os.path.join(out, "class_hierarchy.json"), "w") as f:
+        json.dump({"LabelName": "entity",
+                   "Subcategory": [{"LabelName": s} for s in SHAPES]}, f)
 
     with open(os.path.join(out, "world.json"), "w") as f:
         json.dump(world, f)
