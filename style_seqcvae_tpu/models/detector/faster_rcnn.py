@@ -176,7 +176,14 @@ def _cb_example_weights(labels_mh, samples_per_cls, beta, n_cls):
     """Per-example CB weight Σ_c labels·((1-β)/(1-β^n_c)), the w_c row
     normalized to sum to num_classes (faster_rcnn.py:293-303). Rows with no
     positive label get weight 0 — padded rows vanish for free."""
-    eff = 1.0 - jnp.power(beta, samples_per_cls)
+    # clamp counts to >=1: a class with ZERO training instances makes
+    # (1-beta)/(1-beta^0) = inf and the normalization inf/inf = NaN for the
+    # WHOLE weight vector, NaN-ing every loss through the shared trunk. The
+    # reference never sees n=0 (real COCO-Attributes counts are all
+    # positive, cocoatts.py count pruning); any corpus exercising a subset
+    # of the attribute inventory does. Zero-count classes have no positive
+    # labels, so their (now finite) weight only affects the normalizer.
+    eff = 1.0 - jnp.power(beta, jnp.maximum(samples_per_cls, 1.0))
     w = (1.0 - beta) / eff
     w = w / jnp.sum(w) * n_cls
     return jnp.sum(w[None, :] * labels_mh, axis=1, keepdims=True)     # (R, 1)

@@ -258,6 +258,34 @@ def test_cb_loss_branches_match_torch():
     np.testing.assert_allclose(float(got0), float(want0), rtol=1e-5)
 
 
+def test_cb_loss_finite_with_zero_count_classes():
+    """Regression (round 5): a class with ZERO training instances made the
+    CB weight (1-beta)/(1-beta^0) = inf and the inf/inf normalization NaN'd
+    the whole weight vector — from-scratch detector training on any corpus
+    exercising a subset of the 106-attribute inventory NaN'd every loss
+    within one display interval. Counts clamp to >=1; the weights and the
+    loss must stay finite, and zero-count classes (which can have no
+    positive labels) must not change the loss beyond the normalizer."""
+    from style_seqcvae_tpu.models.detector.faster_rcnn import (
+        cb_focal_loss, cb_sigmoid_loss, cb_softmax_loss)
+
+    rng = np.random.RandomState(11)
+    R, C = 8, 106
+    counts = np.zeros((C,), np.float32)
+    counts[:8] = rng.randint(20, 400, (8,)).astype(np.float32)
+    labels = np.zeros((R, C), np.float32)
+    labels[np.arange(R), rng.randint(0, 8, R)] = 1.0
+    logits = rng.randn(R, C).astype(np.float32) * 3
+
+    for fn in (cb_sigmoid_loss, cb_softmax_loss):
+        out = np.asarray(fn(jnp.asarray(labels), jnp.asarray(logits),
+                            jnp.asarray(counts), 0.9))
+        assert np.isfinite(out).all(), fn.__name__
+    out = cb_focal_loss(jnp.asarray(labels), jnp.asarray(logits),
+                        jnp.asarray(counts), 0.9, 2.0)
+    assert np.isfinite(float(out))
+
+
 def test_cb_focal_stable_at_extreme_logits():
     """The reference's log(1+exp(-x)) overflows at x≈-90; the softplus form
     must stay finite."""
