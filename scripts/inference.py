@@ -387,13 +387,6 @@ def _collect_group(_C, model_cfg, kind_out, prepared, n_z):
     return [seqs[:, b, :] for b in range(B)]
 
 
-def _decode_group(_C, model_cfg, harness, prepared, k, n_z, staged=None):
-    """Synchronous dispatch + collect (kept for single-shot callers)."""
-    kind_out = _dispatch_group(_C, model_cfg, harness, prepared, k, n_z,
-                               staged=staged)
-    return _collect_group(_C, model_cfg, kind_out, prepared, n_z)
-
-
 def _decode_one(_C, model_cfg, harness, batch, feats, sentiment,
                 obj_att_embeds, k, n_z, sampler=None):
     import numpy as np

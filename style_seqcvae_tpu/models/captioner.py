@@ -238,7 +238,8 @@ _TRAIN_SCAN_UNROLL = 1
 
 
 def train_forward(params: Dict[str, Any], cfg: CaptionerConfig, batch: Dict[str, jnp.ndarray],
-                  rng: jax.Array) -> Dict[str, jnp.ndarray]:
+                  rng: jax.Array, eps: Optional[jnp.ndarray] = None
+                  ) -> Dict[str, jnp.ndarray]:
     """Teacher-forced training forward pass.
 
     batch keys: ``image_features`` (B, N, F); ``caption_tokens`` (B, T) with
@@ -266,25 +267,28 @@ def train_forward(params: Dict[str, Any], cfg: CaptionerConfig, batch: Dict[str,
     prior_log_var = jnp.log(prior_var)
 
     init_state = init_cell_state((B,), cfg.hidden_size, image_features.dtype)
-    if jnp.issubdtype(jnp.asarray(rng).dtype, jnp.floating):
-        # precomputed per-step z-noise (T, ..., z) — sliced into cell_step's
-        # float-eps contract (updown_cell.py cell_step); lets parity tests
-        # share eps with a torch reference instead of statistical tolerance
-        step_keys = jnp.asarray(rng)
+    if eps is not None:
+        # precomputed per-step z-noise (T, ..., z), passed EXPLICITLY (no
+        # dtype-sniffing of rng on the production train path) — lets parity
+        # tests share eps with a torch reference instead of statistical
+        # tolerance; the key column is an unused dummy
+        step_keys = jnp.zeros((num_steps,), jnp.uint32)
+        eps_stack = jnp.asarray(eps)
     else:
         step_keys = jax.random.split(rng, num_steps)
+        eps_stack = None
     input_tokens = tokens[:, :-1].T          # (T, B) scan xs
     token_embs = params["embedding"][input_tokens]  # (T, B, E) one gather
 
     def scan_step(state: CellState, xs):
-        tok_emb, key = xs
+        tok_emb, key, eps_t = xs
         h_dec, new_state, q_mean, q_log_var, p_mean, _ = cell_step(
             params["cell"], tok_emb, state,
             image_features=image_features,
             projected_image_features=proj_feats,
             averaged_image_features=avg_feats,
             image_features_mask=feats_mask,
-            training=True, rng=key,
+            training=True, rng=key, eps=eps_t,
             sentiment_vae=cfg.sentiment_vae, simple_vae=cfg.simple_vae,
             latent_embedding=cfg.latent_embedding,
             sentiment=sentiment, obj_att_embeds=obj_att_embeds,
@@ -293,8 +297,9 @@ def train_forward(params: Dict[str, Any], cfg: CaptionerConfig, batch: Dict[str,
         kld = _per_step_kld(cfg, q_mean, q_log_var, p_mean, prior_log_var)
         return new_state, (logits, kld)
 
-    _, (logits_t, kld_t) = jax.lax.scan(scan_step, init_state, (token_embs, step_keys),
-                                        unroll=_TRAIN_SCAN_UNROLL)
+    _, (logits_t, kld_t) = jax.lax.scan(
+        scan_step, init_state, (token_embs, step_keys, eps_stack),
+        unroll=_TRAIN_SCAN_UNROLL)
     logits = jnp.transpose(logits_t, (1, 0, 2))   # (B, T, V)
     klds = kld_t.T * tokens_mask[:, 1:].astype(kld_t.dtype)  # (B, T)
 

@@ -161,6 +161,7 @@ def cell_step(
     obj_att_embeds: Optional[jnp.ndarray] = None,  # (B, N, z) for mode 2
     prior_mean: Optional[jnp.ndarray] = None,      # (B, z) or broadcastable
     prior_var: Optional[jnp.ndarray] = None,       # (B, z) or broadcastable
+    eps: Optional[jnp.ndarray] = None,             # precomputed z-noise
 ):
     """Returns ``(h_dec, new_state, q_mean, q_log_var, prior_mean, attn_w)``.
 
@@ -221,11 +222,15 @@ def cell_step(
         var = prior_var_b
         q_mean, q_log_var = mean, jnp.log(var)
 
-    if jnp.issubdtype(jnp.asarray(rng).dtype, jnp.floating):
-        # precomputed noise slice (broadcastable to the grid) — same contract
-        # as make_optimized_step_fn; used by parity tests sharing eps with a
-        # torch reference.
-        eps = jnp.broadcast_to(jnp.asarray(rng).astype(mean.dtype), mean.shape)
+    if eps is None and jnp.issubdtype(jnp.asarray(rng).dtype, jnp.floating):
+        # DECODE-ONLY noise plumbing: the beam/CBS searches take an explicit
+        # ``noise=`` stack and thread its per-step slices through the step
+        # fn's opaque key slot (decoding/beam_search.py, cbs_fast.py) — the
+        # training path must pass ``eps=`` explicitly instead (train_forward
+        # no longer dtype-sniffs its rng).
+        eps = jnp.asarray(rng)
+    if eps is not None:
+        eps = jnp.broadcast_to(jnp.asarray(eps).astype(mean.dtype), mean.shape)
     else:
         eps = jax.random.normal(rng, mean.shape, dtype=mean.dtype)
     z = eps * jnp.sqrt(var) + mean

@@ -44,9 +44,18 @@ def enable_compile_cache(path: str | None = None) -> str:
     return path
 
 
+# jit names too generic to group by — many DISTINCT live programs share
+# them (e.g. the several jit__lambda entries in .jax_cache), so same-name
+# near-same-size dedup would delete live entries every run and re-pay the
+# minutes-scale remote load cost in perpetual churn (ADVICE r4)
+GENERIC_JIT_NAMES = frozenset(
+    {"jit__lambda", "jit_fn", "jit__unnamed_function", "jit__unnamed"})
+
+
 def prune_compile_cache(path: str | None = None,
                         max_bytes: int = 400 * 1024 * 1024,
                         dup_size_tol: float = 0.02,
+                        drift_age_secs: float = 3600.0,
                         dry_run: bool = False) -> dict:
     """Garbage-collect the persistent compile cache.
 
@@ -101,7 +110,13 @@ def prune_compile_cache(path: str | None = None,
             except OSError:
                 pass
 
-    # pass 1: drift dedup within same-jit-name groups
+    # pass 1: drift dedup within same-jit-name groups. Two guards against
+    # deleting LIVE entries (ADVICE r4): generic jit names (many distinct
+    # programs share them) are excluded entirely, and a duplicate only
+    # drops when it is at least ``drift_age_secs`` OLDER than its twin —
+    # real key drift leaves the stale entry a round behind (hours), while
+    # two distinct live programs re-stored in the same bench run sit
+    # minutes apart and both survive.
     groups: dict = {}
     for name, size, mtime in entries:
         prefix = name.rsplit("-", 2)[0] if name.endswith("-cache") else name
@@ -111,11 +126,16 @@ def prune_compile_cache(path: str | None = None,
     for prefix, group in groups.items():
         group.sort(key=lambda e: -e[2])          # newest first
         group_newest[prefix] = group[0][0]
+        if prefix in GENERIC_JIT_NAMES:
+            kept.extend(group)
+            continue
         survivors: list = []
         for name, size, mtime in group:
-            twin = next((s for s in survivors
-                         if abs(s[1] - size) <= dup_size_tol * max(s[1], size)),
-                        None)
+            twin = next(
+                (s for s in survivors
+                 if abs(s[1] - size) <= dup_size_tol * max(s[1], size)
+                 and s[2] - mtime >= drift_age_secs),
+                None)
             if twin is not None:
                 drop(name, size, f"key-drift duplicate of {twin[0]}")
             else:

@@ -210,7 +210,8 @@ def test_fulldims_train_step_loss_kld_and_grad_parity():
              "sentiment": jnp.asarray(sentiment)}
 
     def loss_fn(p):
-        out = train_forward(p, CFG, batch, jnp.asarray(eps))
+        out = train_forward(p, CFG, batch, jax.random.PRNGKey(0),
+                            eps=jnp.asarray(eps))
         return (jnp.mean(out["loss"]) + jnp.mean(out["kld"]) / KLD_WEIGHT,
                 out)
 

@@ -129,13 +129,23 @@ def test_prune_compile_cache(tmp_path):
         t = time.time() - age
         os.utime(p, (t, t))
 
-    # drift pair: same name-prefix, sizes 1% apart -> older dropped
-    mk("jit_decode_all-aaaa-cache", 1_000_000, age=100)
+    # drift pair: same name-prefix, sizes 1% apart, stale one a round
+    # behind (>= drift_age_secs older) -> older dropped
+    mk("jit_decode_all-aaaa-cache", 1_000_000, age=7200)
     mk("jit_decode_all-bbbb-cache", 1_005_000, age=10)
     # same name, very different size (different shape bucket) -> both kept
     mk("jit_decode_all-cccc-cache", 2_000_000, age=50)
     # unrelated entry
     mk("jit_train-dddd-cache", 500_000, age=200)
+    # two DISTINCT live programs under a generic jit name, near-same size,
+    # stored far apart: generic names are excluded from dedup (ADVICE r4 —
+    # deleting one causes perpetual delete/recompile/re-store churn)
+    mk("jit__lambda-eeee-cache", 300_000, age=7200)
+    mk("jit__lambda-ffff-cache", 301_000, age=10)
+    # same name, near size, both stored within the same run (minutes
+    # apart): NOT drift — both survive
+    mk("jit_serve-gggg-cache", 400_000, age=120)
+    mk("jit_serve-hhhh-cache", 401_000, age=10)
 
     r = prune_compile_cache(path=str(d), max_bytes=10**9, dry_run=True)
     assert [x["name"] for x in r["dropped"]] == ["jit_decode_all-aaaa-cache"]
@@ -145,6 +155,13 @@ def test_prune_compile_cache(tmp_path):
     assert not (d / "jit_decode_all-aaaa-cache").exists()
     assert (d / "jit_decode_all-bbbb-cache").exists()
     assert (d / "jit_decode_all-cccc-cache").exists()
+    assert (d / "jit__lambda-eeee-cache").exists()
+    assert (d / "jit__lambda-ffff-cache").exists()
+    assert (d / "jit_serve-gggg-cache").exists()
+    assert (d / "jit_serve-hhhh-cache").exists()
+    for n in ("jit__lambda-eeee-cache", "jit__lambda-ffff-cache",
+              "jit_serve-gggg-cache", "jit_serve-hhhh-cache"):
+        (d / n).unlink()
 
     # size cap: each group's NEWEST entry is protected (cache hits never
     # bump mtime, so "oldest" means oldest-STORED — evicting a group's only
