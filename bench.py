@@ -240,12 +240,18 @@ def _time_dispatch(fn, args, checksum_index, steps=5, key_index=None):
 # Config 1: greedy decode, 100 precomputed features, no CBS
 # --------------------------------------------------------------------------
 
-def build_greedy_decode(batch=100, dtype="bfloat16"):
+def build_greedy_decode(batch=100, dtype="bfloat16", chain=10):
     """Construct the config-1 greedy program + args (no timing). Split out
     so its warm-up (compile + first execution — the dispatch that pays the
     wildly variable remote executable-LOAD cost, BASELINE.md "remote load
     variance", 0.1-590 s observed for the same cached binary) can run on a
-    background thread overlapped with configs 2-5 (VERDICT r3 weak #1)."""
+    background thread overlapped with configs 2-5 (VERDICT r3 weak #1).
+
+    ``chain``: K independent greedy decodes (fresh key each) scanned inside
+    ONE dispatch — a single batch-100 decode fits UNDER the ~30 ms tunnel
+    floor, leaving ``device_value: null`` every round (VERDICT r4 weak #5);
+    chaining puts the dispatch well above the floor so the device-only
+    number is measurable (same recipe as config 2's chained train step)."""
     import jax
     import jax.numpy as jnp
 
@@ -263,18 +269,26 @@ def build_greedy_decode(batch=100, dtype="bfloat16"):
 
     @jax.jit
     def decode(params, feats, sentiment, key):
+        # context/step are scan-invariant (XLA LICM hoists the projection)
         ctx = make_decode_context(params, cfg, feats, sentiment=sentiment)
         step = make_optimized_step_fn(params, cfg, ctx)
         init_state = init_cell_state((batch,), cfg.hidden_size, jdtype)
         start = jnp.full((batch,), cfg.boundary_index)
-        toks = greedy_decode(step, start, init_state, key,
-                             max_steps=SEQ, end_index=cfg.boundary_index)
-        return toks, jnp.sum(toks)
+
+        def body(checksum, k):
+            toks = greedy_decode(step, start, init_state, k,
+                                 max_steps=SEQ, end_index=cfg.boundary_index)
+            return checksum + jnp.sum(toks), toks
+
+        checksum, toks = jax.lax.scan(body, jnp.int32(0),
+                                      jax.random.split(key, chain))
+        return toks, checksum
 
     return decode, (params, feats, sentiment, jax.random.PRNGKey(1))
 
 
-def bench_greedy(batch=100, dtype="bfloat16", steps=5, prewarmed=None):
+def bench_greedy(batch=100, dtype="bfloat16", steps=5, chain=10,
+                 prewarmed=None):
     """``prewarmed``: dict from the overlapped warm-up thread —
     ``fn_args`` (compiled program + args) and ``warm_s`` (wall seconds the
     warm-up took, overlapped with the other configs, not serialized)."""
@@ -293,13 +307,14 @@ def bench_greedy(batch=100, dtype="bfloat16", steps=5, prewarmed=None):
         best, compile_s = min(times), prewarmed["warm_s"]
         extra = {"overlapped_warm_s": round(prewarmed["warm_s"], 1)}
     else:
-        decode, args = build_greedy_decode(batch, dtype)
+        decode, args = build_greedy_decode(batch, dtype, chain)
         best, compile_s = _time_dispatch(decode, args, 1, steps, key_index=3)
         extra = {}
     return dict(metric="greedy_captions_per_sec_per_chip",
-                value=round(batch / best, 2), unit="captions/s",
-                config=1, items=batch, flops=greedy_flops(batch, SEQ, BOXES),
-                bytes=decode_weight_stream(SEQ),
+                value=round(batch * chain / best, 2), unit="captions/s",
+                config=1, items=batch * chain, chained=chain,
+                flops=greedy_flops(batch, SEQ, BOXES) * chain,
+                bytes=decode_weight_stream(SEQ) * chain,
                 seconds=best, compile_s=compile_s, **extra)
 
 
@@ -823,6 +838,10 @@ def bench_serving_latency(n_z=20, beam=5, steps=5):
 
     out = dict(metric="serving_latency_ms_one_image_20_captions",
                value=round(1000 * min(fused_times), 1), unit="ms",
+               baseline_note="no reference analogue: the reference's "
+                             "serving path is 3 processes + 2 file handoffs "
+                             "(trainval/test_net h5 -> inference.py JSON), "
+                             "never a live request path",
                config="serving", items=1,
                flops=fused_flops,
                bytes=fused_bytes,
@@ -911,6 +930,10 @@ def main():
             "cbs_beam5_captions_per_sec_per_chip": m.get("reference_captions_per_sec"),
             "greedy_captions_per_sec_per_chip": m.get("reference_greedy_captions_per_sec"),
             "train_step_captions_per_sec_per_chip": m.get("reference_train_captions_per_sec"),
+            "diverse20z_oracle_captions_per_sec_per_chip": m.get(
+                "reference_mode2_oracle_captions_per_sec"),
+            "e2e_raw_image_images_per_sec_per_chip": m.get(
+                "reference_e2e_images_per_sec"),
         }
     except Exception:
         pass
@@ -945,12 +968,18 @@ def main():
     # drivers parse the final JSON line.
     for fn in (bench_train_step, bench_diverse_oracle,
                bench_e2e, bench_serving_latency):
+        warm_alive = warm_thread.is_alive()
         try:
             rec = fn()
             rec.pop("_decode_fn", None)
             rec = _finalize(rec, baselines)
         except Exception as e:  # a secondary config must never kill the flagship line
             rec = {"metric": fn.__name__, "error": repr(e)[:300]}
+        if warm_alive or warm_thread.is_alive():
+            # measured while config-1's warm-up thread shared the chip and
+            # tunnel — the number can be deflated by that self-inflicted
+            # contention (ADVICE r4); honest flag instead of a silent skew
+            rec["warmup_contention"] = True
         print(json.dumps(rec), flush=True)
 
     # Bounded join: a stalled remote load (documented up to ~10 min; backend
@@ -981,7 +1010,10 @@ def main():
     try:
         rec = bench_tpu_cbs()
         rec.pop("_decode_fn", None)
-        print(json.dumps(_finalize(rec, baselines)), flush=True)
+        rec = _finalize(rec, baselines)
+        if warm_thread.is_alive():   # join timed out but the load resolved late
+            rec["warmup_contention"] = True
+        print(json.dumps(rec), flush=True)
         # end-of-run GC: drift duplicates RE-STORED during this run (the
         # environment-side key drift can land mid-run) must not survive
         # into a committed cache snapshot

@@ -56,9 +56,23 @@ def _local_rows(n_rows: int):
 
 
 def run_captioner_payload() -> Dict[str, float]:
-    """One DP×TP captioner train step on a deterministic global batch,
+    """DP×TP captioner train step(s) on a deterministic global batch,
     each process feeding only its local shard. Returns global scalars
-    (replicated across the mesh, identical on every process)."""
+    (replicated across the mesh, identical on every process).
+
+    Checkpoint-portability hooks (SURVEY §5.4/§5.8, VERDICT r4 item 5) via
+    env vars so the SAME payload runs single- and multi-process:
+
+    * ``SSC_CKPT_DIR``      — CheckpointManager directory (shared fs)
+    * ``SSC_CKPT_RESTORE``  — checkpoint name to restore into the (sharded)
+      state after init: a single-process save restored here exercises
+      single→multi resharding; in a single process it round-trips a
+      multi-process sharded save (multi→single)
+    * ``SSC_CKPT_SAVE``     — checkpoint name to save after the steps
+      (in multi-process mode this is a REAL distributed Orbax save)
+    * ``SSC_STEPS``         — number of train steps (default 1; 0 = just
+      init/restore + report, for pure restore verification)
+    """
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -106,17 +120,42 @@ def run_captioner_payload() -> Dict[str, float]:
     local = {k: v[rows] for k, v in global_batch.items()}
     batch = shard_batch(mesh, local)
 
+    ckpt_dir = os.environ.get("SSC_CKPT_DIR", "")
+    n_steps = int(os.environ.get("SSC_STEPS", "1"))
+    mgr = None
+    if ckpt_dir:
+        from style_seqcvae_tpu.training.checkpointing import CheckpointManager
+
+        mgr = CheckpointManager(ckpt_dir, keep=0)
+        restore = os.environ.get("SSC_CKPT_RESTORE", "")
+        if restore:
+            # the live sharded state is the restore target, so Orbax
+            # reshards on load — a single-process save restores onto the
+            # multi-process mesh and vice versa
+            state = mgr.restore(restore, state)
+
+    metrics = None
     with jax.sharding.set_mesh(mesh):
-        state, metrics = step(state, batch)
+        for _ in range(n_steps):
+            state, metrics = step(state, batch)
         pnorm = jax.jit(lambda p: sum(
             jnp.vdot(x, x) for x in jax.tree_util.tree_leaves(p)))(state.params)
-    return {
-        "loss": float(metrics["loss"]),
-        "reconstr_loss": float(metrics["reconstr_loss"]),
-        "kld_loss": float(metrics["kld_loss"]),
+    out = {
         "param_norm_sq": float(pnorm),
+        "opt_step": int(jax.device_get(state.opt_state.step)),
         "mesh": dict(zip(mesh.axis_names, map(int, mesh.devices.shape))),
     }
+    if metrics is not None:
+        out.update({
+            "loss": float(metrics["loss"]),
+            "reconstr_loss": float(metrics["reconstr_loss"]),
+            "kld_loss": float(metrics["kld_loss"]),
+        })
+    if mgr is not None:
+        save = os.environ.get("SSC_CKPT_SAVE", "")
+        if save:
+            mgr.save(state, save)
+    return out
 
 
 def run_detector_payload() -> Dict[str, float]:
@@ -222,6 +261,7 @@ def launch_two_process_run(payloads: Sequence[str] = ("captioner",),
     repo_root = os.path.abspath(
         os.path.join(os.path.dirname(__file__), "..", ".."))
     out_dir = out_dir or tempfile.mkdtemp(prefix="ssc_dist_")
+    os.makedirs(out_dir, exist_ok=True)
     port = _free_port()
     procs, outs, logs = [], [], []
     for pid in range(2):

@@ -86,9 +86,22 @@ class CheckpointManager:
         self._ckpt.wait_until_finished()
 
     def restore(self, name: str, target_state):
+        # Abstract target with the LIVE state's shardings: Orbax then
+        # reshards on load, so a single-process save restores onto a
+        # multi-process mesh and a distributed sharded save restores into
+        # one process (with a concrete target Orbax can reproduce the
+        # SAVED placement instead — restoring a laptop-saved scalar onto
+        # global device 0 only, which poisons the next jitted step on an
+        # 8-device mesh; test_multihost.py portability test).
+        def absify(x):
+            if isinstance(x, jax.Array):
+                return jax.ShapeDtypeStruct(x.shape, x.dtype,
+                                            sharding=x.sharding)
+            return x
+
+        abstract = jax.tree_util.tree_map(absify, _to_saveable(target_state))
         return _from_saveable(
-            self._ckpt.restore(self._path(name), _to_saveable(target_state)),
-            target_state)
+            self._ckpt.restore(self._path(name), abstract), target_state)
 
     def latest_iteration(self) -> Optional[int]:
         its = self._iterations()

@@ -147,6 +147,67 @@ def test_real_two_process_cluster(tmp_path):
                                    err_msg=k)
 
 
+@pytest.mark.slow
+def test_distributed_checkpoint_portability(tmp_path):
+    """Sharded-save/reshard-restore BOTH ways (VERDICT r4 item 5, SURVEY
+    §5.4/§5.8): an Orbax checkpoint saved single-process restores into the
+    REAL 2-process cluster (resharded onto the 2×4-device mesh) and
+    continues with the exact next step; the cluster's own sharded save
+    restores back into a single process with identical parameters."""
+    import os
+
+    from style_seqcvae_tpu.parallel.distributed_worker import (
+        launch_two_process_run, run_payloads)
+
+    ckpt_dir = str(tmp_path / "ckpts")
+
+    def with_env(fn, **env):
+        old = {k: os.environ.get(k) for k in env}
+        os.environ.update({k: str(v) for k, v in env.items()})
+        try:
+            return fn()
+        finally:
+            for k, v in old.items():
+                if v is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = v
+
+    payload = lambda: run_payloads(["captioner"])  # noqa: E731
+
+    # single-process: one step from init, save; then the 2-step baseline
+    one = with_env(payload, SSC_CKPT_DIR=ckpt_dir, SSC_STEPS=1,
+                   SSC_CKPT_SAVE="single_step1")
+    two = with_env(payload, SSC_STEPS=2)
+    assert two["opt_step"] == 2
+
+    # direction 1 (single → multi): the cluster restores the single-process
+    # save onto the 2-process mesh and runs the SECOND step — must match
+    # the single-process 2-step run; it also saves a REAL distributed
+    # sharded checkpoint
+    results = with_env(
+        lambda: launch_two_process_run(
+            payloads=("captioner",), devices_per_process=4,
+            out_dir=str(tmp_path / "workers")),
+        SSC_CKPT_DIR=ckpt_dir, SSC_STEPS=1,
+        SSC_CKPT_RESTORE="single_step1", SSC_CKPT_SAVE="multi_step2")
+    for r in results:
+        assert r["process_count"] == 2
+        assert r["opt_step"] == 2
+        np.testing.assert_allclose(r["loss"], two["loss"], rtol=5e-4)
+        np.testing.assert_allclose(r["param_norm_sq"], two["param_norm_sq"],
+                                   rtol=5e-4)
+
+    # direction 2 (multi → single): restore the cluster's sharded save in
+    # THIS process (0 extra steps) — parameters and step must round-trip
+    restored = with_env(payload, SSC_CKPT_DIR=ckpt_dir, SSC_STEPS=0,
+                        SSC_CKPT_RESTORE="multi_step2")
+    assert restored["opt_step"] == 2
+    np.testing.assert_allclose(restored["param_norm_sq"],
+                               results[0]["param_norm_sq"], rtol=1e-6)
+    assert one["opt_step"] == 1
+
+
 def test_process_shard_disjoint_cover(tmp_path):
     """Two processes with the same seeded rng draw disjoint index strides
     that jointly cover the epoch's shuffled order."""
