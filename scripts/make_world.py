@@ -433,6 +433,15 @@ def main():
         json.dump({"LabelName": "entity",
                    "Subcategory": [{"LabelName": s} for s in SHAPES]}, f)
 
+    # SentiGloVe-style 10-d latent dictionary (misc/prep_expl_lat_space.py
+    # → sentiglove10.pkl; consumed by LatentDictionary.from_sentiglove for
+    # mode-2 attribute priors). Deterministic per-word vectors.
+    sg_rng = np.random.RandomState(1234)
+    sentiglove = {w: sg_rng.randn(10).astype(np.float32)
+                  for w in ATTRS + POS_WORDS + NEG_WORDS}
+    with open(os.path.join(out, "sentiglove10.pkl"), "wb") as f:
+        pickle.dump(sentiglove, f)
+
     with open(os.path.join(out, "world.json"), "w") as f:
         json.dump(world, f)
 

@@ -145,10 +145,6 @@ def main():
     compute_dtype = jnp.bfloat16 if _A.bf16_compute else None
     k_steps = max(1, _A.steps_per_dispatch)
     device_corpus = _A.device_corpus and _A.model != "baseline"
-    if device_corpus and latent_dict is not None:
-        print("--device-corpus: mode-2 latent dictionaries need per-item "
-              "obj_atts — falling back to the host feature path")
-        device_corpus = False
     if device_corpus and jax.process_count() > 1:
         # the replicated table device_put would address non-local devices
         # (eager device_put on non-addressable global arrays raises)
@@ -160,13 +156,25 @@ def main():
         from jax.sharding import NamedSharding, PartitionSpec
 
         table, feat_row_of = dataset.feature_table()
+        repl = NamedSharding(mesh, PartitionSpec())
+        if latent_dict is not None:
+            # mode 2: the per-image prior-embedding table rides along and
+            # gathers by the same feat_idx (no host fallback any more)
+            oae = dataset.obj_att_embed_table(latent_dict, feat_row_of)
+            feats_dev = {"image_features": jax.device_put(table, repl),
+                         "obj_att_embeds": jax.device_put(oae, repl)}
+            del oae
+        else:
+            feats_dev = jax.device_put(table, repl)
         dataset.skip_feature_read = True
-        feats_dev = jax.device_put(
-            table, NamedSharding(mesh, PartitionSpec()))
         if compute_dtype is not None:
-            feats_dev = jax.jit(lambda t: t.astype(compute_dtype))(feats_dev)
+            feats_dev = jax.jit(
+                lambda t: jax.tree_util.tree_map(
+                    lambda x: x.astype(compute_dtype), t))(feats_dev)
+        nbytes = sum(x.nbytes for x in jax.tree_util.tree_leaves(feats_dev))
         print(f"device corpus: {table.shape} "
-              f"({feats_dev.nbytes / 1e6:.0f} MB on device)")
+              f"({nbytes / 1e6:.0f} MB on device"
+              f"{', + mode-2 embed table' if latent_dict is not None else ''})")
         del table
     if _A.model == "baseline":
         train_step = make_baseline_train_step(tx, model_cfg,
@@ -223,7 +231,10 @@ def main():
                     [feat_row_of[int(i)] for i in batch["image_id"]], np.int32)
             else:
                 model_batch["image_features"] = batch["image_features"]
-            if latent_dict is not None and batch["obj_atts"] is not None:
+            if (latent_dict is not None and not device_corpus
+                    and batch["obj_atts"] is not None):
+                # device_corpus mode 2 gathers the embed table by feat_idx
+                # inside the step instead
                 model_batch["obj_att_embeds"] = latent_dict.translate_obj_atts(
                     batch["obj_atts"], _C.DATA.MAX_BOXES)
             yield model_batch

@@ -47,6 +47,11 @@ parser.add_argument("--steps-per-dispatch", type=int, default=1,
                          "steps — same recipe as scripts/train.py). "
                          "Leftover same-canvas batches at epoch end run "
                          "through the single-step program.")
+parser.add_argument("--lr-decay-epochs", type=int, default=4,
+                    help="decay lr by DET.TRAIN.GAMMA every N epochs "
+                         "(reference fine-tunes from ImageNet with N=4, "
+                         "trainval_net.py:323-325; from-scratch training "
+                         "needs a longer constant-lr phase)")
 parser.add_argument("--remat", action="store_true",
                     help="rematerialize backbone bottlenecks + chunk RoI "
                          "pooling in the backward (trades ~10%% step time "
@@ -130,7 +135,7 @@ def main():
         params, lr=D.TRAIN.LEARNING_RATE, momentum=D.TRAIN.MOMENTUM,
         weight_decay=D.TRAIN.WEIGHT_DECAY, double_bias=D.TRAIN.DOUBLE_BIAS,
         bias_decay=D.TRAIN.BIAS_DECAY, steps_per_epoch=opt_steps_per_epoch,
-        lr_decay_step_epochs=4, gamma=D.TRAIN.GAMMA,
+        lr_decay_step_epochs=_A.lr_decay_epochs, gamma=D.TRAIN.GAMMA,
         clip_norm=D.TRAIN.CLIP_GRADIENTS)
     opt_state = tx.init(params)
 

@@ -265,6 +265,32 @@ class TrainingDataset:
                 table[row_of[iid], :n] = f[:n]
         return table, row_of
 
+    def obj_att_embed_table(self, latent_dict, row_of) -> np.ndarray:
+        """(num_images, max_boxes, z_space) mode-2 prior-embedding table in
+        :meth:`feature_table` row order, so --device-corpus mode-2 training
+        gathers BOTH tables by the same in-step ``feat_idx`` (lifting the
+        round-4 host-features fallback). Host-side equivalent of the
+        reference's per-batch ``translate_obj_atts2obj_means``
+        (updown_captioner.py:509-532), computed once for the finite
+        corpus."""
+        from style_seqcvae_tpu.data.readers import obj_atts_id2string
+
+        out = np.zeros((len(row_of), self._max_boxes, latent_dict.z_space),
+                       np.float32)
+        for iid, row in row_of.items():
+            try:
+                _, obj_atts = self._features[iid]
+            except KeyError:
+                _, obj_atts = self._features_valid[iid]
+            if self.coco_attributes_reader is not None and obj_atts is not None:
+                obj_atts = obj_atts_id2string(
+                    self.obj_id2name, self.coco_attributes_reader.attrib_names,
+                    obj_atts, self.coco_attributes_reader.avail_obj_names,
+                    self.att_pred_thresh, self.use_obj_att_preds)
+            out[row] = latent_dict.translate_obj_atts(
+                [obj_atts or []], self._max_boxes)[0]
+        return out
+
     def batches(self, batch_size: int, rng: Optional[random.Random] = None,
                 process_shard: Optional[tuple] = None):
         """Infinite shuffled batch generator (updown/utils/common.py:7-27

@@ -104,9 +104,23 @@ def run_captioner_payload() -> Dict[str, float]:
     params = jax.jit(lambda k: init_captioner(k, cfg),
                      out_shardings=shardings)(jax.random.PRNGKey(0))
     tx = make_captioner_optimizer(config, params, cfg.tie_embeddings)
-    opt_state = jax.jit(tx.init)(params)
+    # explicit replicated out_shardings: a bare jit leaves fresh scalars
+    # (e.g. opt_state.step) SingleDeviceSharding(device 0) — tolerated for
+    # locally-created arrays, but an Orbax RESTORE targeting that sharding
+    # produces an array the multi-process mesh jit rejects ("incompatible
+    # devices ... [0] vs [0..2051]"); NamedShardings make init and restore
+    # agree on every topology
+    repl = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+    opt_shapes = jax.eval_shape(tx.init, params)
+    opt_state = jax.jit(
+        tx.init,
+        out_shardings=jax.tree_util.tree_map(lambda _: repl, opt_shapes))(params)
+    # jit (not eager device_put): every process feeds the same host value
+    # and gets the replicated global array — eager device_put would try to
+    # address the other process's devices
     state = TrainState(params=params, opt_state=opt_state,
-                       rng=jax.random.PRNGKey(1))
+                       rng=jax.jit(lambda x: x, out_shardings=repl)(
+                           jax.random.PRNGKey(1)))
     step = make_train_step(tx, cfg, config.MODEL.KLD_WEIGHT)
 
     rng = np.random.RandomState(0)
@@ -133,6 +147,18 @@ def run_captioner_payload() -> Dict[str, float]:
             # reshards on load — a single-process save restores onto the
             # multi-process mesh and vice versa
             state = mgr.restore(restore, state)
+            if jax.process_count() > 1:
+                # re-align the workers: restore I/O skew otherwise leaves
+                # one process entering the step's first Gloo collective
+                # >30 s (the Gloo rendezvous timeout) before the other.
+                # Coordination-service barrier, NOT a device collective —
+                # an allgather here would itself need the not-yet-created
+                # Gloo context and hit the same 30 s limit.
+                from jax._src import distributed
+
+                client = distributed.global_state.client
+                if client is not None:
+                    client.wait_at_barrier("ssc_ckpt_restored", 600_000)
 
     metrics = None
     with jax.sharding.set_mesh(mesh):

@@ -101,6 +101,21 @@ def make_chained_train_step(tx, model_cfg: CaptionerConfig, kld_weight: float,
     return jax.jit(chained, donate_argnums=(0,))
 
 
+def _gather_corpus_rows(batch, feats_table):
+    """Device-side corpus gather: ``feats_table`` is either the features
+    array alone or a dict of per-image tables ({"image_features": ...,
+    "obj_att_embeds": ...} for mode 2 — lifting the old host-features
+    fallback), every one indexed by the batch's ``feat_idx`` column."""
+    b = dict(batch)
+    idx = b.pop("feat_idx")
+    if isinstance(feats_table, dict):
+        for k, tbl in feats_table.items():
+            b[k] = tbl[idx]
+    else:
+        b["image_features"] = feats_table[idx]
+    return b
+
+
 def make_corpus_train_step(tx, model_cfg: CaptionerConfig, kld_weight: float,
                            compute_dtype=None):
     """``step(state, feats_table, batch)`` — the batch carries a
@@ -112,9 +127,7 @@ def make_corpus_train_step(tx, model_cfg: CaptionerConfig, kld_weight: float,
     body = _make_train_body(tx, model_cfg, kld_weight, compute_dtype)
 
     def step(state: TrainState, feats_table, batch):
-        b = dict(batch)
-        b["image_features"] = feats_table[b.pop("feat_idx")]
-        return body(state, b)
+        return body(state, _gather_corpus_rows(batch, feats_table))
 
     return jax.jit(step, donate_argnums=(0,))
 
@@ -128,9 +141,7 @@ def make_corpus_chained_train_step(tx, model_cfg: CaptionerConfig,
 
     def chained(state: TrainState, feats_table, batches):
         def one(st, b):
-            b = dict(b)
-            b["image_features"] = feats_table[b.pop("feat_idx")]
-            return body(st, b)
+            return body(st, _gather_corpus_rows(b, feats_table))
 
         return jax.lax.scan(one, state, batches)
 

@@ -335,15 +335,21 @@ def test_serve_cli_http_mode(pipeline):
                             stderr=subprocess.STDOUT, text=True)
     try:
         port = None
-        deadline = time.time() + 300
+        warmed = False
+        deadline = time.time() + 420
         while time.time() < deadline:
             line = proc.stdout.readline()
             if not line and proc.poll() is not None:
                 raise AssertionError("server exited before startup")
+            if line.startswith("warm-up:"):
+                warmed = True
             if "serving on http://" in line:
                 port = int(line.split(":")[2].split()[0].strip("/"))
                 break
         assert port, "server never announced its port"
+        # the bucket programs compiled BEFORE the server opened its port —
+        # a cold server's first burst must not eat the compile
+        assert warmed, "server accepted requests without pre-warming"
 
         with urllib.request.urlopen(
                 f"http://127.0.0.1:{port}/healthz", timeout=60) as r:
@@ -372,6 +378,9 @@ def test_serve_cli_http_mode(pipeline):
             assert isinstance(r["caption"], str)
             assert len(r["candidates"]) == 2          # one per z-sample
             assert r["num_constraints"] >= 0
+            # pre-warmed: the first burst's dispatch must be a warm
+            # execution, not a cold compile (which takes minutes here)
+            assert r["latency_ms"] < 60_000, r
         assert {r["batch"] for r in results} == {2}   # batched together
     finally:
         proc.terminate()

@@ -259,3 +259,77 @@ def test_grounded_mode_batched_group_decode(corpus):
                                     n_z=2, return_all=True)
     np.testing.assert_array_equal(np.asarray(seqs), np.asarray(seqs2))
     np.testing.assert_allclose(np.asarray(lp), np.asarray(lp2))
+
+
+def test_mode2_device_corpus_table_and_step_equivalence(corpus, tmp_path):
+    """--device-corpus mode-2 (round 5): the per-image obj_att_embed table
+    gathered by feat_idx inside the compiled step must reproduce the host
+    path exactly — same embeds per image, and a corpus train step with
+    dict tables bit-matches the host train step on materialized
+    features + embeds (lifting round 4's mode-2 host-features fallback)."""
+    from style_seqcvae_tpu.config import Config
+    from style_seqcvae_tpu.data.datasets import TrainingDataset
+    from style_seqcvae_tpu.models.captioner import CaptionerConfig, init_captioner
+    from style_seqcvae_tpu.training.optimizer import make_captioner_optimizer
+    from style_seqcvae_tpu.training.trainer import (
+        TrainState, make_corpus_train_step, make_train_step)
+
+    caps = {"annotations": [
+        {"id": i + 1, "image_id": i % 6, "caption": "a nice dog"}
+        for i in range(12)]}
+    caps_path = tmp_path / "caps.json"
+    caps_path.write_text(json.dumps(caps))
+
+    vocab = Vocabulary([UNK_TOKEN, BOUNDARY_TOKEN, "a", "dog", "nice"])
+    ds = TrainingDataset(
+        vocabulary=vocab, captions_jsonpath=str(caps_path),
+        image_features_h5path=corpus["h5"],
+        attribs_dir_path=corpus["attribs_dir"],
+        max_caption_length=6, max_boxes=4,
+        obj_id2name=corpus["obj_id2name"])
+    ld = LatentDictionary.from_sentiglove(corpus["sentiglove"], 10)
+
+    table, row_of = ds.feature_table()
+    oae_table = ds.obj_att_embed_table(ld, row_of)
+
+    # per-image: table row == host translate of the item's obj_atts
+    import random
+    batch = next(ds.batches(4, rng=random.Random(0)))
+    host_oae = ld.translate_obj_atts(batch["obj_atts"], 4)
+    idx = np.asarray([row_of[int(i)] for i in batch["image_id"]], np.int32)
+    np.testing.assert_allclose(oae_table[idx], host_oae, atol=0)
+    np.testing.assert_allclose(table[idx], batch["image_features"], atol=0)
+
+    # one train step: corpus dict-table gather == host batch
+    cfg = CaptionerConfig(vocab_size=vocab.get_vocab_size(),
+                          image_feature_size=16, embedding_size=8,
+                          hidden_size=8, attention_projection_size=4,
+                          z_space=10, sentiment_vae=2, simple_vae=False,
+                          latent_embedding="glove", max_caption_length=6)
+    config = Config(config_override=["OPTIM.NUM_ITERATIONS", "10"])
+    params = init_captioner(jax.random.PRNGKey(0), cfg)
+    tx = make_captioner_optimizer(config, params, cfg.tie_embeddings)
+
+    def fresh_state():
+        return TrainState(params=jax.tree_util.tree_map(jnp.copy, params),
+                          opt_state=tx.init(params),
+                          rng=jax.random.PRNGKey(5))
+
+    host_batch = {"image_features": jnp.asarray(batch["image_features"]),
+                  "caption_tokens": jnp.asarray(batch["caption_tokens"]),
+                  "sentiment": jnp.asarray(batch["sentiment"]),
+                  "obj_att_embeds": jnp.asarray(host_oae)}
+    s1, m1 = make_train_step(tx, cfg, 750.0)(fresh_state(), host_batch)
+
+    corpus_batch = {"feat_idx": jnp.asarray(idx),
+                    "caption_tokens": jnp.asarray(batch["caption_tokens"]),
+                    "sentiment": jnp.asarray(batch["sentiment"])}
+    tables = {"image_features": jnp.asarray(table),
+              "obj_att_embeds": jnp.asarray(oae_table)}
+    s2, m2 = make_corpus_train_step(tx, cfg, 750.0)(fresh_state(), tables,
+                                                    corpus_batch)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)

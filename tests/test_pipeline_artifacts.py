@@ -1,0 +1,64 @@
+"""Gates over the committed three-stage pipeline artifacts (runs/pipeline3).
+
+VERDICT r4 items 1-3: the style battery and the baseline-comparison table
+are only evidence if something ASSERTS them. These tests read the artifacts
+the executed `scripts/three_stage.sh` run committed and gate:
+
+* detection mAP from the trained-from-scratch detector (stage gate)
+* sentiment control: conditioned lexicon rates far above the neutral run's,
+  with bounded crossover (the paper's core style claim)
+* metric discriminativeness: the trained model beats the random-caption
+  AND train-caption-retrieval baselines through the SAME eval battery
+
+They skip when the artifacts are absent (fresh clone before a pipeline
+run) — the committed repo carries them, so CI sees them.
+"""
+
+import json
+import os
+
+import pytest
+
+RUN = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "runs", "pipeline3")
+
+
+def _load(name):
+    path = os.path.join(RUN, name)
+    if not os.path.exists(path):
+        pytest.skip(f"pipeline artifact {name} not present (run "
+                    "scripts/three_stage.sh first)")
+    with open(path) as f:
+        return json.load(f)
+
+
+def test_detection_map_gate():
+    m = _load("detection_map.json")
+    assert m["AP50"] >= 0.5, m
+    assert m["mAP"] >= 0.25, m
+
+
+def test_sentiment_control_margins():
+    r = _load("style_report.json")
+    runs, ctl = r["runs"], r["control"]
+    # conditioning must MOVE the lexicon rates far above the neutral decode
+    assert ctl["pos_margin"] >= 0.30, ctl
+    assert ctl["neg_margin"] >= 0.30, ctl
+    # and polarity must not leak: crossover bounded well under the
+    # conditioned rate
+    assert ctl["pos_crossover"] <= 0.5 * runs["pos"]["pos_rate"], ctl
+    assert ctl["neg_crossover"] <= 0.5 * runs["neg"]["neg_rate"], ctl
+    # style metrics vs polarity-matched references exist and are non-trivial
+    assert runs["pos"]["senti_prec"] > 0.0
+    assert runs["neg"]["senti_prec"] > 0.0
+
+
+def test_model_beats_random_and_retrieval_baselines():
+    out = _load("eval_baselines.json")
+    model, rand, retr = out["model"], out["random"], out["retrieval"]
+    # higher-order n-grams + CIDEr discriminate (VERDICT r4 weak #1: the
+    # old corpus pinned B3/B4 at the smoothing floor for EVERYTHING)
+    for k in ("B3", "B4", "cider"):
+        assert model[k] > 2.0 * rand[k], (k, model[k], rand[k])
+        assert model[k] > retr[k], (k, model[k], retr[k])
+    assert model["B4"] > 0.05, model["B4"]   # far off the smoothing floor
