@@ -29,6 +29,10 @@ parser.add_argument("--batch-size", type=int, default=16,
                     help="images per device dispatch (grouped by canvas "
                          "orientation; amortizes per-dispatch latency)")
 parser.add_argument("--max-images", type=int, default=0)
+parser.add_argument("--depth", type=int, default=101, choices=[50, 101],
+                    help="ResNet depth (res101 is the reference run, "
+                         "resnet.py:220; res50 converges far faster for "
+                         "from-scratch synthetic-world training)")
 parser.add_argument("--thresh", type=float, default=0.5)
 parser.add_argument("--cpu", action="store_true")
 parser.add_argument("--config-override", nargs="*", default=[])
@@ -68,7 +72,7 @@ def main():
         exclude_senticap_test=False)
     det_cfg = DetectorConfig(
         num_classes=dataset.num_classes, num_att_classes=dataset.n_attribs,
-        pooling_mode=D.POOLING_MODE, anchor_scales=tuple(D.ANCHOR_SCALES),
+        depth=_A.depth, pooling_mode=D.POOLING_MODE, anchor_scales=tuple(D.ANCHOR_SCALES),
         anchor_ratios=tuple(D.ANCHOR_RATIOS),
         rpn=RPNConfig(anchor_scales=tuple(D.ANCHOR_SCALES)))
 

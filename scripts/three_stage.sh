@@ -26,7 +26,10 @@ cd "$(dirname "$0")/.."
 
 W=${W:-worlds/quality}
 RUN=${RUN:-runs/pipeline3}
-DET_EPOCHS=${DET_EPOCHS:-14}
+DET_EPOCHS=${DET_EPOCHS:-16}
+DET_DEPTH=${DET_DEPTH:-50}
+DET_LR=${DET_LR:-0.004}
+DET_LR_DECAY_EPOCHS=${DET_LR_DECAY_EPOCHS:-12}
 CAP_ITERS=${CAP_ITERS:-20000}
 MAP_GATE=${MAP_GATE:-0.5}
 DET_OVERRIDES=(DET.TRAIN.SCALES "[384]" DET.TRAIN.MAX_SIZE 512
@@ -42,8 +45,10 @@ if run_stage 1; then
     --instances-json "$W/instances_train.json" --image-root "$W/images" \
     --senticap-json "$W/senticap_dataset.json" --attribs-dir "$W/attribs" \
     --serialization-dir "$RUN/detector" --epochs "$DET_EPOCHS" \
+    --depth "$DET_DEPTH" --lr-decay-epochs "$DET_LR_DECAY_EPOCHS" \
     --ims-per-batch 8 --steps-per-dispatch 4 --bf16-compute \
-    --canvas 384 512 --config-override "${DET_OVERRIDES[@]}" \
+    --canvas 384 512 \
+    --config-override DET.TRAIN.LEARNING_RATE "$DET_LR" "${DET_OVERRIDES[@]}" \
     2>&1 | tee "$RUN/stage1_detector.log"
 fi
 
@@ -54,7 +59,7 @@ if run_stage gate; then
     --attribs-dir "$W/attribs" \
     --checkpoint-path "$RUN/detector" --checkpoint-name "detector_epoch_$DET_EPOCHS" \
     --output "$RUN/features_val.h5" --detections-output "$RUN/detections_val.json" \
-    --canvas 384 512 --batch-size 16 --thresh 0.05 \
+    --depth "$DET_DEPTH" --canvas 384 512 --batch-size 16 --thresh 0.05 \
     --config-override "${DET_OVERRIDES[@]}" \
     2>&1 | tee "$RUN/gate_extract_val.log"
   python scripts/eval_detections.py --detections "$RUN/detections_val.json" \
@@ -78,7 +83,7 @@ if run_stage 2; then
       --checkpoint-path "$RUN/detector" --checkpoint-name "detector_epoch_$DET_EPOCHS" \
       --output "$RUN/features_$split.h5" \
       --detections-output "$RUN/detections_$split.json" \
-      --canvas 384 512 --batch-size 16 --thresh 0.5 \
+      --depth "$DET_DEPTH" --canvas 384 512 --batch-size 16 --thresh 0.5 \
       --config-override "${DET_OVERRIDES[@]}" \
       2>&1 | tee "$RUN/stage2_extract_$split.log"
   done

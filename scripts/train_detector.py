@@ -47,6 +47,10 @@ parser.add_argument("--steps-per-dispatch", type=int, default=1,
                          "steps — same recipe as scripts/train.py). "
                          "Leftover same-canvas batches at epoch end run "
                          "through the single-step program.")
+parser.add_argument("--depth", type=int, default=101, choices=[50, 101],
+                    help="ResNet depth (res101 is the reference run, "
+                         "resnet.py:220; res50 converges far faster for "
+                         "from-scratch synthetic-world training)")
 parser.add_argument("--lr-decay-epochs", type=int, default=4,
                     help="decay lr by DET.TRAIN.GAMMA every N epochs "
                          "(reference fine-tunes from ImageNet with N=4, "
@@ -100,7 +104,7 @@ def main():
 
     det_cfg = DetectorConfig(
         num_classes=dataset.num_classes,
-        num_att_classes=dataset.n_attribs,
+        num_att_classes=dataset.n_attribs, depth=_A.depth,
         pooling_mode=D.POOLING_MODE,
         anchor_scales=tuple(D.ANCHOR_SCALES),
         anchor_ratios=tuple(D.ANCHOR_RATIOS),
