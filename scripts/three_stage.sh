@@ -46,6 +46,7 @@ if run_stage 1; then
     --senticap-json "$W/senticap_dataset.json" --attribs-dir "$W/attribs" \
     --serialization-dir "$RUN/detector" --epochs "$DET_EPOCHS" \
     --depth "$DET_DEPTH" --lr-decay-epochs "$DET_LR_DECAY_EPOCHS" \
+    --unfreeze-backbone \
     --ims-per-batch 8 --steps-per-dispatch 4 --bf16-compute \
     --canvas 384 512 \
     --config-override DET.TRAIN.LEARNING_RATE "$DET_LR" "${DET_OVERRIDES[@]}" \

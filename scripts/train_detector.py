@@ -47,6 +47,10 @@ parser.add_argument("--steps-per-dispatch", type=int, default=1,
                          "steps — same recipe as scripts/train.py). "
                          "Leftover same-canvas batches at epoch end run "
                          "through the single-step program.")
+parser.add_argument("--unfreeze-backbone", action="store_true",
+                    help="train conv1/layer1/BN-affine too (from-scratch "
+                         "runs; the reference freeze protects PRETRAINED "
+                         "weights and would pin random layers forever)")
 parser.add_argument("--depth", type=int, default=101, choices=[50, 101],
                     help="ResNet depth (res101 is the reference run, "
                          "resnet.py:220; res50 converges far faster for "
@@ -139,6 +143,7 @@ def main():
         params, lr=D.TRAIN.LEARNING_RATE, momentum=D.TRAIN.MOMENTUM,
         weight_decay=D.TRAIN.WEIGHT_DECAY, double_bias=D.TRAIN.DOUBLE_BIAS,
         bias_decay=D.TRAIN.BIAS_DECAY, steps_per_epoch=opt_steps_per_epoch,
+        freeze_backbone=not _A.unfreeze_backbone,
         lr_decay_step_epochs=_A.lr_decay_epochs, gamma=D.TRAIN.GAMMA,
         clip_norm=D.TRAIN.CLIP_GRADIENTS)
     opt_state = tx.init(params)

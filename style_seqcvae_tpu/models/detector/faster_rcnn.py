@@ -354,12 +354,22 @@ def detector_forward_test(params, cfg: DetectorConfig, images, im_info,
     return out
 
 
-def detector_trainable_labels(params) -> Any:
+def detector_trainable_labels(params, freeze_backbone: bool = True) -> Any:
     """Label pytree for the optimizer: frozen backbone pieces per
-    resnet.trainable_label, everything else trainable."""
+    resnet.trainable_label, everything else trainable.
+
+    ``freeze_backbone=False`` — from-scratch training: the reference's
+    conv1/layer1/BN-affine freeze (resnet.py:255-291) exists to protect
+    PRETRAINED weights; with a random init it pins random early layers
+    forever (round-5 finding: the frozen-random trunk caps held-out AP50
+    near chance while losses still decrease). Only the BN running
+    statistics stay frozen (identity stats; trainable scale/offset subsume
+    the affine)."""
 
     def label(path, leaf):
         keys = [getattr(p, "key", getattr(p, "name", str(p))) for p in path]
+        if not freeze_backbone:
+            return "never" if keys[-1] in ("mean", "var") else "always"
         if "resnet" in keys:
             return resnet.trainable_label([k for k in keys if k != "resnet"])
         if "vgg" in keys:

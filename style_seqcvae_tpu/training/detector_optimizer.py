@@ -27,8 +27,10 @@ def make_detector_optimizer(params, *, lr: float, momentum: float = 0.9,
                             steps_per_epoch: int = 1,
                             lr_decay_step_epochs: int = 4,
                             gamma: float = 0.1,
-                            clip_norm: float = 0.0) -> optax.GradientTransformation:
-    labels = detector_trainable_labels(params)
+                            clip_norm: float = 0.0,
+                            freeze_backbone: bool = True
+                            ) -> optax.GradientTransformation:
+    labels = detector_trainable_labels(params, freeze_backbone)
 
     def is_bias(path) -> bool:
         keys = [getattr(p, "key", getattr(p, "name", str(p))) for p in path]
