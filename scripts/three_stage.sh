@@ -33,7 +33,8 @@ DET_LR_DECAY_EPOCHS=${DET_LR_DECAY_EPOCHS:-12}
 CAP_ITERS=${CAP_ITERS:-20000}
 MAP_GATE=${MAP_GATE:-0.5}
 DET_OVERRIDES=(DET.TRAIN.SCALES "[384]" DET.TRAIN.MAX_SIZE 512
-               DET.TEST.SCALES "[384]" DET.TEST.MAX_SIZE 512)
+               DET.TEST.SCALES "[384]" DET.TEST.MAX_SIZE 512
+               DET.TRAIN.CLIP_GRADIENTS 10.0)
 STAGES=${*:-1 gate 2 3 4 5}
 mkdir -p "$RUN"
 

@@ -369,7 +369,17 @@ def detector_trainable_labels(params, freeze_backbone: bool = True) -> Any:
     def label(path, leaf):
         keys = [getattr(p, "key", getattr(p, "name", str(p))) for p in path]
         if not freeze_backbone:
-            return "never" if keys[-1] in ("mean", "var") else "always"
+            if keys[-1] in ("mean", "var"):
+                return "never"
+            # the stem conv sees PIXEL-scale inputs: its init folds in
+            # 1/_INPUT_PIXEL_STD (resnet.py:60-67) so its gradients are
+            # ~std× larger AND its weights ~std× smaller than every other
+            # layer's — the optimizer rescales this label's effective lr by
+            # 1/std² or from-scratch training NaNs within tens of steps
+            if (("conv1" in keys or "conv1_1" in keys)
+                    and not any(k.startswith("layer") for k in keys)):
+                return "input_conv"
+            return "always"
         if "resnet" in keys:
             return resnet.trainable_label([k for k in keys if k != "resnet"])
         if "vgg" in keys:

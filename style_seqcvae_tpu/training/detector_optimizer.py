@@ -54,7 +54,14 @@ def make_detector_optimizer(params, *, lr: float, momentum: float = 0.9,
         params_flat = jax.tree_util.tree_leaves(params)
         trace_flat = jax.tree_util.tree_leaves(state.trace)
 
-        masked = [g * (0.0 if l == "never" else 1.0)
+        # "input_conv" (unfrozen from-scratch stem): the folded init makes
+        # its grads ~std× larger and weights ~std× smaller — rescale by
+        # 1/std² BEFORE clipping so it neither explodes nor dominates the
+        # global norm (resnet._INPUT_PIXEL_STD)
+        from style_seqcvae_tpu.models.detector.resnet import _INPUT_PIXEL_STD
+
+        scale_of = {"never": 0.0, "input_conv": 1.0 / (_INPUT_PIXEL_STD ** 2)}
+        masked = [g * scale_of.get(l, 1.0)
                   for g, l in zip(grads_flat, flat_labels)]
         if clip_norm > 0:
             gnorm = jnp.sqrt(sum(jnp.sum(jnp.square(g)) for g in masked))
