@@ -6,6 +6,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import pytest
 from style_seqcvae_tpu.models.detector.anchors import generate_anchors, shifted_anchors
 from style_seqcvae_tpu.models.detector.faster_rcnn import (
     DetectorConfig,
@@ -337,3 +338,46 @@ def test_from_scratch_init_activation_scale():
     vfeat = vgg.backbone(vparams, x)
     vstd = float(jnp.std(vfeat))
     assert 0.01 < vstd < 8.0, f"vgg trunk std {vstd} not O(1)"
+
+
+@pytest.mark.slow
+def test_unfrozen_from_scratch_steps_stable():
+    """Round-5 regression: --unfreeze-backbone (freeze_backbone=False)
+    from-scratch SGD steps at a practical lr must stay finite and learn —
+    without the optimizer's 1/std^2 "input_conv" gradient conditioning the
+    folded stem init explodes within tens of steps (and with the reference
+    freeze, random conv1/layer1 are pinned and cap detection quality)."""
+    from style_seqcvae_tpu.training.detector_optimizer import (
+        make_detector_optimizer)
+
+    cfg = tiny_cfg()
+    params = init_detector(jax.random.PRNGKey(0), cfg)
+    tx = make_detector_optimizer(params, lr=4e-3, clip_norm=10.0,
+                                 freeze_backbone=False)
+    opt = tx.init(params)
+    batch = make_batch(np.random.RandomState(3))
+
+    @jax.jit
+    def step(p, o, k):
+        def lf(pp):
+            losses = detector_forward_train(pp, cfg, batch, k)
+            return losses["total"], losses
+
+        (_, losses), g = jax.value_and_grad(lf, has_aux=True)(p)
+        u, o2 = tx.update(g, o, p)
+        return jax.tree_util.tree_map(lambda a, x: a + x, p, u), o2, losses
+
+    key = jax.random.PRNGKey(4)
+    totals = []
+    for _ in range(5):
+        key, k = jax.random.split(key)
+        params, opt, losses = step(params, opt, k)
+        t = float(losses["total"])
+        assert np.isfinite(t), losses
+        totals.append(t)
+    assert totals[-1] < totals[0], totals
+    # the stem actually moved (not pinned like the reference freeze)
+    conv1 = np.asarray(params["resnet"]["conv1"])
+    init_conv1 = np.asarray(
+        init_detector(jax.random.PRNGKey(0), cfg)["resnet"]["conv1"])
+    assert np.abs(conv1 - init_conv1).max() > 0
