@@ -388,8 +388,12 @@ def main():
     senti_images = []
     pos_refs, neg_refs = [], []
     ann_id = 1
+    # senticap "val" entries ride on TRAIN images: the captioner's training
+    # reader loads train+val splits and only train-split images have rows
+    # in features_train.h5 (world-val images are the detector's mAP split)
+    senti_val = [i for i in split_ids["train"] if i not in set(senti_train)][:20]
     for split_name, ids in (("train", senti_train),
-                            ("val", split_ids["val"][:20]),
+                            ("val", senti_val),
                             ("test", split_ids["test"])):
         for iid in ids:
             sentences = []

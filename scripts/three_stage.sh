@@ -155,8 +155,19 @@ if run_stage 4; then
       2>&1 | tee "$RUN/stage4_decode_$senti.log"
   done
   echo "--- CBS leg: constraints from the detector's own detections ---"
+  python - "$RUN" "$W" <<'EOF'
+import json, sys
+run, w = sys.argv[1], sys.argv[2]
+# COCO-results list -> ConstraintBoxesReader's {annotations, categories}
+dets = json.load(open(f"{run}/detections_test.json"))
+cats = json.load(open(f"{w}/instances_test.json"))["categories"]
+json.dump({"annotations": dets, "categories": cats},
+          open(f"{run}/constraint_boxes_test.json", "w"))
+print(f"constraint boxes: {len(dets)} detections")
+EOF
   python scripts/inference.py --config "$RUN/captioner_config.yml" \
     --config-override MODEL.USE_CBS true DATA.SENTICAP_SENTIMENT "pos" \
+    DATA.CBS.INFER_BOXES "$RUN/constraint_boxes_test.json" \
     --checkpoint-path "$RUN/captioner" --checkpoint-name "checkpoint_$CAP_ITERS" \
     --output-path "$RUN/preds_cbs_pos.json" --batch-images 8 --bf16 \
     2>&1 | tee "$RUN/stage4_decode_cbs.log"

@@ -141,11 +141,21 @@ class TrainingDataset:
             if remove_samples_without_attribs:
                 with_atts = set(self.coco_attributes_reader.image_ids)
                 self._captions = [x for x in self._captions if x[0] in with_atts]
-            if self._features is not None:
-                avail = set(self._features.image_ids)
-                if self._features_valid is not None:
-                    avail |= set(self._features_valid.image_ids)
-                self._captions = [x for x in self._captions if x[0] in avail]
+        if self._features is not None:
+            # drop captions whose image has no feature row IN EITHER file
+            # (previously only under the attribs branch): the reference
+            # reader silently DEFAULTS missing ids (readers.py:128-137);
+            # here the skip is explicit and counted — e.g. Senticap
+            # val-split images that were never run through feat_extract
+            avail = set(self._features.image_ids)
+            if self._features_valid is not None:
+                avail |= set(self._features_valid.image_ids)
+            before = len(self._captions)
+            self._captions = [x for x in self._captions if x[0] in avail]
+            if len(self._captions) != before:
+                print(f"dropped {before - len(self._captions)} caption(s) "
+                      "whose image has no feature row (reference "
+                      "readers.py:128-137 would silently default them)")
 
     @classmethod
     def from_config(cls, config, vocabulary, in_memory=False, obj_id2name=None):
