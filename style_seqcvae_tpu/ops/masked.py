@@ -17,9 +17,16 @@ def masked_softmax(logits: jnp.ndarray, mask: jnp.ndarray, axis: int = -1) -> jn
     entries, renormalize (with tiny epsilon to avoid 0/0 on fully-masked
     rows)."""
     mask = mask.astype(logits.dtype)
-    probs = jnp.where(mask > 0, jnp.exp(logits - jnp.max(jnp.where(mask > 0, logits, -jnp.inf), axis=axis, keepdims=True)), 0.0)
-    # Fully-masked rows: max is -inf → exp produces nan; guard by re-zeroing.
-    probs = jnp.where(jnp.isfinite(probs), probs, 0.0)
+    masked_logits = jnp.where(mask > 0, logits, -jnp.inf)
+    mx = jnp.max(masked_logits, axis=axis, keepdims=True)
+    # Fully-masked rows: mx is -inf and (logits - mx) would be +inf/nan —
+    # and because jax.grad evaluates BOTH where-branches, that nan leaks
+    # into the GRADIENT even when the forward value is re-zeroed (a batch
+    # containing one zero-detection image NaN'd whole training runs).
+    # Keeping mx finite keeps every branch's arithmetic finite; the -inf
+    # constant below is grad-free (exp(-inf) = 0 with zero gradient).
+    mx = jnp.where(jnp.isfinite(mx), mx, 0.0)
+    probs = jnp.exp(jnp.where(mask > 0, logits - mx, -jnp.inf))
     denom = jnp.sum(probs, axis=axis, keepdims=True) + 1e-13
     return probs / denom
 

@@ -60,3 +60,32 @@ def test_masked_mean():
     mask = jnp.asarray([[1, 1, 0]])
     m = masked_mean(x, mask[..., None], axis=1)
     np.testing.assert_allclose(np.asarray(m), [[2.0, 20.0]], atol=1e-6)
+
+
+def test_masked_softmax_fully_masked_row_grad_finite():
+    """Regression (round 5): a fully-masked row (zero-detection image → all
+    padded boxes) made max(-inf) arithmetic NaN the GRADIENT through the
+    untaken where-branch even though the forward value was guarded —
+    one such image in a batch NaN'd entire captioner training runs."""
+    import jax
+
+    from style_seqcvae_tpu.ops.masked import masked_mean, masked_softmax
+
+    mask = jnp.asarray([[1, 1, 0], [0, 0, 0]], jnp.float32)
+
+    def f(x):
+        return jnp.sum(masked_softmax(x, mask) * jnp.arange(3.0))
+
+    x = jnp.asarray([[1.0, 2.0, 3.0], [4.0, 5.0, 6.0]])
+    v, g = jax.value_and_grad(f)(x)
+    assert np.isfinite(float(v))
+    assert np.isfinite(np.asarray(g)).all()
+    out = np.asarray(masked_softmax(x, mask))
+    np.testing.assert_allclose(out[1], 0.0)          # fully masked → zeros
+    np.testing.assert_allclose(out[0].sum(), 1.0, rtol=1e-6)
+
+    def fm(x):
+        return jnp.sum(masked_mean(x, mask[..., None], axis=1))
+
+    gm = jax.grad(fm)(jnp.ones((2, 3, 4)))
+    assert np.isfinite(np.asarray(gm)).all()
