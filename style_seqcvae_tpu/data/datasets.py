@@ -73,6 +73,19 @@ def _collate_obj_atts(batch_list: List[Dict[str, Any]]):
     return [o if o is not None else [] for o in oa]
 
 
+
+
+def _obj_id2name_from_reader(reader) -> list:
+    """Default object-id -> name table from the COCO-Attributes pickles'
+    obj_id2obj_name map (the reference gets names from the imdb class list;
+    the CLIs have no imdb, and without this mode-2's obj_atts_id2string
+    would index an empty list)."""
+    m = reader.obj_id2obj_name
+    out = [""] * (max(m) + 1 if m else 0)
+    for i, n in m.items():
+        out[int(i)] = n
+    return out
+
 class TrainingDataset:
     def __init__(
         self,
@@ -138,6 +151,9 @@ class TrainingDataset:
         self.coco_attributes_reader: Optional[CocoAttributesReader] = None
         if attribs_dir_path:
             self.coco_attributes_reader = CocoAttributesReader(attribs_dir_path)
+            if not self.obj_id2name:
+                self.obj_id2name = _obj_id2name_from_reader(
+                    self.coco_attributes_reader)
             if remove_samples_without_attribs:
                 with_atts = set(self.coco_attributes_reader.image_ids)
                 self._captions = [x for x in self._captions if x[0] in with_atts]
@@ -384,6 +400,9 @@ class EvaluationDataset:
         self.coco_attributes_reader: Optional[CocoAttributesReader] = None
         if attribs_dir_path:
             self.coco_attributes_reader = CocoAttributesReader(attribs_dir_path)
+            if not self.obj_id2name:
+                self.obj_id2name = _obj_id2name_from_reader(
+                    self.coco_attributes_reader)
             if remove_samples_without_attribs:
                 with_atts = set(self.coco_attributes_reader.image_ids)
                 self._image_ids = [x for x in self._image_ids if x in with_atts]
