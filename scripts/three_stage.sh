@@ -135,7 +135,13 @@ OPTIM:
   BATCH_SIZE: 150
   NUM_ITERATIONS: $CAP_ITERS
   LR: 0.015
-  EPOCH_START_DECODER_TRAINING: $((CAP_ITERS / 2))
+  # the reference's two-phase decoder-freeze schedule (decoder updates
+  # every 30th step until iteration EPOCH_START_DECODER_TRAINING) is
+  # implemented + tested (test_training.py) and was exercised by the
+  # r4 70k run; on THIS small-vocab world it let an encoder collapse at
+  # ~5k steps go unrecovered (reconstr 37 -> 230 with the decoder
+  # frozen), so the pipeline trains both phases jointly
+  EPOCH_START_DECODER_TRAINING: 0
   BEFORE_UPDATE_DECODER_EVERY: 30
 EOF
   python scripts/train.py --config "$RUN/captioner_config.yml" \
