@@ -90,15 +90,54 @@ def main():
             retrieval_preds.append({"image_id": iid,
                                     "caption": caps[z % len(caps)]})
 
+    # grounding precision/recall: content words (shape nouns + attribute
+    # adjectives) vs the image's KNOWN scene (world.json). On a closed
+    # template grammar every fluent caption matches the function-word
+    # n-grams, so BLEU saturates for random text too — grounding precision
+    # is the metric that separates "describes THIS image" from "fluent
+    # about some image" (and grounding is the paper's actual claim).
+    world = json.load(open(os.path.join(args.world, "world.json")))
+    content = set(world["shapes"]) | set(world["attrs"])
+
+    def grounding(preds):
+        import collections
+
+        by_img = collections.defaultdict(list)
+        for p in preds:
+            by_img[p["image_id"]].append(p["caption"])
+        hit = tot = ref_hit = ref_tot = 0
+        for iid, caps in by_img.items():
+            scene = world["images"][str(iid)]["scene"]
+            truth = ({o["shape"] for o in scene}
+                     | {a for o in scene for a in o["attrs"]})
+            mentioned = set()
+            for c in caps:
+                words = set(c.split()) & content
+                tot += len(words)
+                hit += len(words & truth)
+                mentioned |= words
+            ref_tot += len(truth)
+            ref_hit += len(truth & mentioned)
+        return (hit / max(tot, 1), ref_hit / max(ref_tot, 1))
+
     out = {}
     model_path = os.path.join(args.run, "preds_neutral.json")
     if os.path.exists(model_path):
-        out["model"] = evaluate(json.load(open(model_path)), gts)
+        model_preds = json.load(open(model_path))
+        out["model"] = evaluate(model_preds, gts)
+        out["model"]["grounding_P"], out["model"]["grounding_R"] = grounding(
+            model_preds)
     out["random"] = evaluate(random_preds, gts)
+    out["random"]["grounding_P"], out["random"]["grounding_R"] = grounding(
+        random_preds)
     out["retrieval"] = evaluate(retrieval_preds, gts)
+    (out["retrieval"]["grounding_P"],
+     out["retrieval"]["grounding_R"]) = grounding(retrieval_preds)
 
-    keys = ["B1", "B2", "B3", "B4", "rouge", "cider",
-            "oracle_B4", "oracle_cider", "Div-1", "Div-2"]
+    # evaluate() naming follows the reference: "B4" is the top-1 ORACLE
+    # re-score, "mean B4" the per-z mean (eval.py:350-437)
+    keys = ["mean B4", "B4", "mean cider", "cider", "Div-1", "Div-2",
+            "grounding_P", "grounding_R"]
     header = "system     " + "".join(f"{k:>13}" for k in keys)
     print(header)
     for name in ("model", "random", "retrieval"):
