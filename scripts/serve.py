@@ -62,6 +62,8 @@ parser.add_argument("--attrib-names-json", default="",
                     help="JSON list of attribute-head names (alternative "
                          "to --attribs-dir)")
 parser.add_argument("--num-classes", type=int, default=81)
+parser.add_argument("--depth", type=int, default=101, choices=[50, 101],
+                    help="ResNet depth of the detector checkpoint")
 parser.add_argument("--sentiment", type=float, default=1.0)
 parser.add_argument("--output", default="",
                     help="predictions JSON (image_id, caption, candidates)")
@@ -159,7 +161,7 @@ def main():
 
     det_cfg = DetectorConfig(
         num_classes=_A.num_classes, num_att_classes=max(len(attrib_names), 1),
-        pooling_mode=D.POOLING_MODE, anchor_scales=tuple(D.ANCHOR_SCALES),
+        depth=_A.depth, pooling_mode=D.POOLING_MODE, anchor_scales=tuple(D.ANCHOR_SCALES),
         anchor_ratios=tuple(D.ANCHOR_RATIOS),
         rpn=RPNConfig(anchor_scales=tuple(D.ANCHOR_SCALES)))
     det_params = jit_init(init_detector, det_cfg, jax.random.PRNGKey(0))
