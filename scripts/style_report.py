@@ -53,7 +53,7 @@ def main():
         os.path.join(args.world, "wordforms_senti.tsv"))
 
     report = {"runs": {}}
-    for name in ("pos", "neg", "neutral", "cbs_pos"):
+    for name in ("pos", "neg", "neutral", "cbs_pos", "pos_topp"):
         path = os.path.join(args.run, f"preds_{name}.json")
         if not os.path.exists(path):
             continue
